@@ -1,0 +1,69 @@
+"""Programmatic pendulum builders + analytic double-pendulum oracle.
+
+Mirrors src/utils/pendulum.hpp:10-56 (``init_compound_pendulum``): an
+n-link chain of revolute-X joints, link i hanging a distance L below its
+parent joint, with a point mass at the end of each rod.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+
+from tds_tpu.model.joints import JointType
+from tds_tpu.model.multibody import MultiBodyBuilder, MultiBodyModel
+
+
+def compound_pendulum(
+    num_links: int = 2,
+    masses=None,
+    link_length: float = 0.5,
+    dtype=jnp.float64,
+) -> MultiBodyModel:
+    """n-link compound pendulum swinging in the y-z plane (revolute X joints).
+
+    Matches init_compound_pendulum (pendulum.hpp:10-56): each link's joint
+    sits ``link_length`` below the parent joint (X_T translation (0,0,-L)
+    for links i>0), the point mass sits at the link's COM offset (0, 0, -L).
+    """
+    if masses is None:
+        masses = [1.0] * num_links
+    assert len(masses) == num_links
+    b = MultiBodyBuilder(is_floating=False, name=f"pendulum{num_links}")
+    for i in range(num_links):
+        com = np.array([0.0, 0.0, -link_length])
+        b.add_link(
+            JointType.REVOLUTE_X,
+            parent=i - 1,
+            x_t_pos=(0.0, 0.0, 0.0) if i == 0 else (0.0, 0.0, -link_length),
+            mass=masses[i],
+            com=com,
+            inertia_about_com=np.zeros((3, 3)),  # point mass
+            link_name=f"link{i}",
+            joint_name=f"joint{i}",
+        )
+    return b.finalize(dtype=dtype)
+
+
+def double_pendulum_qdd(q, qd, m1=1.0, m2=1.0, l1=0.5, l2=0.5, g=9.81):
+    """Closed-form accelerations of the planar double pendulum (point
+    masses), the analytic oracle of pendulum.hpp:58-??.
+
+    Angles are measured from the straight-down position, matching the
+    compound_pendulum joint convention (q=0 hangs straight down); q2 is
+    relative to link 1.
+    """
+    t1, t2 = q[..., 0], q[..., 1]
+    w1, w2 = qd[..., 0], qd[..., 1]
+    d = t2  # relative angle between rods
+    den = m1 + m2 * jnp.sin(d) ** 2
+    # standard double-pendulum equations in relative coordinates
+    a1 = (
+        m2 * l1 * w1**2 * jnp.sin(d) * jnp.cos(d)
+        + m2 * g * jnp.sin(t1 + d) * jnp.cos(d)
+        + m2 * l2 * (w1 + w2) ** 2 * jnp.sin(d)
+        - (m1 + m2) * g * jnp.sin(t1)
+    ) / (l1 * den)
+    a2 = (
+        -m2 * l2 * (w1 + w2) ** 2 * jnp.sin(d) * jnp.cos(d)
+        - (m1 + m2) * (g * jnp.sin(t1) * jnp.cos(d) - g * jnp.sin(t1 + d) + l1 * w1**2 * jnp.sin(d))
+    ) / (l2 * den) - a1
+    return jnp.stack([a1, a2], axis=-1)
