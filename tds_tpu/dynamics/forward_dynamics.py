@@ -31,6 +31,14 @@ def forward_dynamics(
     base_applied_force=None,
 ):
     """Compute generalized accelerations qdd of shape (…, dof_qd)."""
+    if q.shape[-1] != model.dof_q:
+        raise ValueError(f"q has {q.shape[-1]} coords, model needs {model.dof_q}")
+    if qd.shape[-1] != model.dof_qd:
+        raise ValueError(f"qd has {qd.shape[-1]} coords, model needs {model.dof_qd}")
+    if tau is not None and tau.shape[-1] not in (model.dof_actuated, model.dof_qd):
+        raise ValueError(
+            f"tau has {tau.shape[-1]} entries, model has {model.dof_actuated} actuated DoF"
+        )
     nl = model.num_links
     dtype = q.dtype
     gravity = jnp.asarray(gravity, dtype=dtype)

@@ -233,8 +233,14 @@ class MultiBodyBuilder:
         self.joint_names.append(joint_name)
         return len(self.joint_types) - 1
 
-    def finalize(self, dtype=jnp.float64) -> MultiBodyModel:
+    def finalize(self, dtype=None) -> MultiBodyModel:
         import numpy as np
+
+        if dtype is None:
+            # canonical float dtype: f64 when jax_enable_x64 is on, else f32
+            import jax
+
+            dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
 
         nl = len(self.joint_types)
         q_off, qd_off = [], []

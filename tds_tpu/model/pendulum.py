@@ -16,7 +16,7 @@ def compound_pendulum(
     num_links: int = 2,
     masses=None,
     link_length: float = 0.5,
-    dtype=jnp.float64,
+    dtype=None,
 ) -> MultiBodyModel:
     """n-link compound pendulum swinging in the y-z plane (revolute X joints).
 
