@@ -111,23 +111,28 @@ class ArticulatedBodyInertia(NamedTuple):
         )
 
     def inverse(self):
-        """Block inverse of the symmetric 6x6 (reference inertia.hpp:302-319)."""
+        """Block (Schur-complement) inverse of [[I, H], [H^T, M]].
+
+        Note: the reference's formula (inertia.hpp:302-319) substitutes
+        C = -H for the lower-left block, which is only correct while H is
+        skew-symmetric (true for rigid-body inertias, false for the
+        articulated base inertia accumulated in ABA). The reference's own
+        ``rbdl_convention`` branch (forward_dynamics.hpp:228-230) sidesteps
+        the bug with a dense 6x6 inverse; we implement the correct Schur
+        complement with C = H^T, which matches that branch.
+        """
         a_inv = jnp.linalg.inv(self.I)
-        b = self.H
-        c = -b
-        m_cab = self.M - c @ a_inv @ b
-        dcab = jnp.linalg.inv(m_cab)
-        ainv_b_dcab = a_inv @ b @ dcab
+        h = self.H
+        ht = jnp.swapaxes(h, -1, -2)
+        s = self.M - ht @ a_inv @ h
+        s_inv = jnp.linalg.inv(s)
+        ainv_h_sinv = a_inv @ h @ s_inv
         return ArticulatedBodyInertia(
-            I=a_inv + ainv_b_dcab @ c @ a_inv, H=-ainv_b_dcab, M=dcab
+            I=a_inv + ainv_h_sinv @ ht @ a_inv, H=-ainv_h_sinv, M=s_inv
         )
 
     def inv_mul(self, f):
-        """Solve Ia * a = f for a motion vector a (reference inertia.hpp:321-328).
-
-        Uses the same block-inverse formula as the reference so floating-base
-        trajectories agree bit-for-bit in double precision.
-        """
+        """Solve Ia * a = f for a motion vector a."""
         inv = self.inverse()
         n, lin = f[..., :3], f[..., 3:]
         topv = jnp.einsum("...ij,...j->...i", inv.I, n) + jnp.einsum(
