@@ -1,0 +1,109 @@
+"""Collision geometry descriptors (static) + local inertia helpers.
+
+Shapes mirror the reference's geometry.hpp:30-342 (sphere, plane, capsule,
+box, cylinder; mesh is a type id only). Descriptors are hashable plain
+Python (trace-time constants); the collision module turns static
+(geomA, geomB) pairs into fixed-size jnp contact computations.
+"""
+
+import dataclasses
+import math
+from typing import Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class Sphere:
+    radius: float
+
+    def local_inertia(self, mass: float):
+        e = 0.4 * mass * self.radius**2
+        return (e, e, e)
+
+
+@dataclasses.dataclass(frozen=True)
+class Plane:
+    """Infinite plane n.x = constant (reference geometry.hpp:155)."""
+
+    normal: Tuple[float, float, float] = (0.0, 0.0, 1.0)
+    constant: float = 0.0
+
+    def local_inertia(self, mass: float):
+        return (0.0, 0.0, 0.0)
+
+
+@dataclasses.dataclass(frozen=True)
+class Capsule:
+    """Capsule along local Z with cylindrical section ``length``
+    (reference geometry.hpp:104)."""
+
+    radius: float
+    length: float
+
+    def local_inertia(self, mass: float):
+        # reference geometry.hpp:120-151: cylinder + hemispherical end caps
+        r, l = self.radius, self.length
+        lx = lz = r
+        ly = 0.5 * l
+        vol_cyl = math.pi * r * r * l
+        vol_sph = (4.0 / 3.0) * math.pi * r**3
+        total = vol_cyl + vol_sph
+        m_cyl = mass * vol_cyl / total
+        m_sph = mass * vol_sph / total
+        # cylinder about its center, axis z
+        ixx_cyl = m_cyl * (l * l / 12.0 + r * r / 4.0)
+        izz_cyl = m_cyl * r * r / 2.0
+        # sphere split into two hemispheres at the ends
+        i_sph = 0.4 * m_sph * r * r
+        d = 0.5 * l
+        ixx = ixx_cyl + i_sph + m_sph * d * d
+        izz = izz_cyl + i_sph
+        return (ixx, ixx, izz)
+
+
+@dataclasses.dataclass(frozen=True)
+class Box:
+    """Axis-aligned box with full extents (reference geometry.hpp:193)."""
+
+    extents: Tuple[float, float, float]
+
+    def local_inertia(self, mass: float):
+        x, y, z = self.extents
+        k = mass / 12.0
+        return (k * (y * y + z * z), k * (x * x + z * z), k * (x * x + y * y))
+
+
+@dataclasses.dataclass(frozen=True)
+class Cylinder:
+    radius: float
+    length: float
+
+    def local_inertia(self, mass: float):
+        r, l = self.radius, self.length
+        ixx = mass * (3 * r * r + l * l) / 12.0
+        return (ixx, ixx, 0.5 * mass * r * r)
+
+
+@dataclasses.dataclass(frozen=True)
+class Mesh:
+    """Placeholder: meshes participate in visuals only (reference parity —
+    geometry.hpp has no mesh narrowphase either)."""
+
+    file_name: str = ""
+    scale: Tuple[float, float, float] = (1.0, 1.0, 1.0)
+
+    def local_inertia(self, mass: float):
+        return (0.0, 0.0, 0.0)
+
+
+@dataclasses.dataclass(frozen=True)
+class GeomAttachment:
+    """A collision shape attached to a link (or the base, link_index=-1)."""
+
+    link_index: int
+    shape: object  # one of the dataclasses above
+    # offset transform of the shape in the link frame
+    pos: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    rpy: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    # contact material (reference urdf_structures.hpp UrdfContact)
+    friction: float = 0.5
+    restitution: float = 0.0
