@@ -1,0 +1,220 @@
+"""Impulse-level contact resolution: MLCP assembly + projected Gauss-Seidel.
+
+Faithful functional reimplementation of MultiBodyConstraintSolver
+(src/mb_constraint_solver.hpp:41-552):
+
+- row layout [normals(n_c) | friction1(n_c) | friction2(n_c)]
+- b_i = -(1+restitution)*vn - erp*d/dt, rows masked by collision = (d < 0)
+  exactly like the reference's traced/codegen path (:285-325)
+- A = J M^-1 J^T + cfm*I (:397-412)
+- PGS with friction bounds scaled by the current normal impulse
+  (limit_dependency coupling, :122-135), iterations/row sweeps unrolled at
+  trace time
+- velocity impulse qd_a += M_a^-1 J_a^T p, qd_b -= M_b^-1 J_b^T p (:454-497)
+
+Divergence from the reference (documented): friction plane-space vectors are
+normalized (the reference's plane_space uses k = sqrt(a) instead of
+1/sqrt(a), mb_constraint_solver.hpp:506-519, leaving non-unit directions for
+non-axis-aligned normals; for the z-up ground planes of all shipped
+environments the two coincide).
+"""
+
+from typing import NamedTuple, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+
+from tds_tpu.collision.narrowphase import Contact
+from tds_tpu.dynamics.jacobian import point_jacobian_kin
+from tds_tpu.dynamics.kinematics import forward_kinematics_q
+from tds_tpu.dynamics.mass_matrix import mass_matrix
+from tds_tpu.model.multibody import MultiBodyModel
+
+
+class ContactSolverParams(NamedTuple):
+    """Solver knobs (defaults per mb_constraint_solver.hpp:60-70)."""
+
+    pgs_iterations: int = 1
+    erp: float = 0.2
+    cfm: float = 1e-5
+    num_friction_dir: int = 2
+    friction: float = 0.5  # world default (world.hpp:68)
+    restitution: float = 0.0
+
+
+def plane_space(n):
+    """Two unit tangent vectors orthogonal to n (normalized Bullet variant
+    of mb_constraint_solver.hpp:506-544), branchless."""
+    n_sqr = n[..., 2] * n[..., 2]
+    mostly_z = n_sqr > 0.5
+    a = n[..., 1] * n[..., 1] + jnp.where(mostly_z, n_sqr, n[..., 0] * n[..., 0])
+    k = 1.0 / jnp.sqrt(jnp.maximum(a, 1e-30))
+    zero = jnp.zeros_like(k)
+    p = jnp.stack(
+        [
+            jnp.where(mostly_z, zero, -n[..., 1] * k),
+            jnp.where(mostly_z, -n[..., 2] * k, n[..., 0] * k),
+            jnp.where(mostly_z, n[..., 1] * k, zero),
+        ],
+        axis=-1,
+    )
+    q = jnp.cross(n, p)
+    return p, q
+
+
+def solve_pgs(a_mat, b, lo, hi, limit_dependency, x0, iterations: int):
+    """Projected Gauss-Seidel with impulse-coupled bounds, unrolled.
+
+    ``limit_dependency[i] >= 0`` scales row i's bounds by
+    max(x[dep], 0) — the Coulomb cone coupling (mb_constraint_solver.hpp:122-135).
+    """
+    n = len(limit_dependency)
+    x = x0
+    for _ in range(iterations):
+        for i in range(n):
+            delta = jnp.einsum("...j,...j->...", a_mat[..., i, :], x) - (
+                a_mat[..., i, i] * x[..., i]
+            )
+            xi = (b[..., i] - delta) / a_mat[..., i, i]
+            dep = limit_dependency[i]
+            if dep >= 0:
+                s = jnp.maximum(x[..., dep], 0.0)
+            else:
+                s = jnp.ones_like(xi)
+            xi = jnp.clip(xi, lo[..., i] * s, hi[..., i] * s)
+            x = x.at[..., i].set(xi)
+    return x
+
+
+class ContactBatch(NamedTuple):
+    """Candidate contacts between one pair of bodies, with static link ids."""
+
+    contact: Contact  # leaves (…, k, 3)/(…, k)
+    link_a: Tuple[int, ...]  # static, len k
+    link_b: Tuple[int, ...]
+    friction: jnp.ndarray  # (k,) or (…, k)
+    restitution: jnp.ndarray
+
+
+def resolve_collision(
+    model_a: MultiBodyModel,
+    q_a,
+    qd_a,
+    model_b: MultiBodyModel,
+    q_b,
+    qd_b,
+    batch: ContactBatch,
+    dt,
+    params: ContactSolverParams = ContactSolverParams(),
+):
+    """Returns (qd_a', qd_b', impulses) after resolving the contact batch.
+
+    Either body may have zero DoF (e.g. a static ground plane).
+    """
+    n_a, n_b = model_a.dof_qd, model_b.dof_qd
+    n_c = batch.contact.count
+    if n_c == 0 or (n_a == 0 and n_b == 0):
+        return qd_a, qd_b, None
+    dtype = batch.contact.distance.dtype
+    dpc = 1 + params.num_friction_dir
+    n_rows = dpc * n_c
+
+    cp = batch.contact
+    collision = (cp.distance < 0.0).astype(dtype)  # (…, k)
+
+    # mass-matrix inverses (block diagonal over the pair)
+    minv_a = jnp.linalg.inv(mass_matrix(model_a, q_a)) if n_a else None
+    minv_b = jnp.linalg.inv(mass_matrix(model_b, q_b)) if n_b else None
+
+    # FK once per body for contact jacobians
+    kin_a = forward_kinematics_q(model_a, q_a) if n_a else None
+    kin_b = forward_kinematics_q(model_b, q_b) if n_b else None
+    bshape = q_a.shape[:-1] if n_a else q_b.shape[:-1]
+
+    def jac(model, kin, link, point):
+        base_x, lxw, lxb = kin
+        return point_jacobian_kin(
+            model, base_x, lxw, lxb, link, point, batch=bshape, dtype=dtype
+        )
+
+    rows_a = []  # (…, 3n_rows? ) rows for body a: list of (…, n_a)
+    rows_b = []
+    b_vec = []  # list of (…,) rhs entries, normal block then fr1, fr2
+    jacs_a_n, jacs_b_n = [], []  # per-candidate 3xN point jacobians
+
+    normals, fr1s, fr2s, rel_vels = [], [], [], []
+    for i in range(n_c):
+        normal = cp.normal_on_b[..., i, :] * collision[..., i, None]
+        ja = jac(model_a, kin_a, batch.link_a[i], cp.point_a[..., i, :]) if n_a else None
+        jb = jac(model_b, kin_b, batch.link_b[i], cp.point_b[..., i, :]) if n_b else None
+        jacs_a_n.append(ja)
+        jacs_b_n.append(jb)
+        vel_a = jnp.einsum("...ij,...j->...i", ja, qd_a) if n_a else 0.0
+        vel_b = jnp.einsum("...ij,...j->...i", jb, qd_b) if n_b else 0.0
+        rel_vel = vel_a - vel_b
+        rel_vels.append(rel_vel)
+        vn = jnp.sum(cp.normal_on_b[..., i, :] * rel_vel, axis=-1)
+        baumgarte = params.erp * cp.distance[..., i] / dt
+        rest = batch.restitution[..., i] if batch.restitution.ndim else batch.restitution
+        b_n = (-(1.0 + rest) * vn - baumgarte) * collision[..., i]
+        normals.append(normal)
+        b_vec.append(b_n)
+        f1, f2 = plane_space(cp.normal_on_b[..., i, :])
+        fr1s.append(f1 * collision[..., i, None])
+        fr2s.append(f2 * collision[..., i, None])
+
+    # friction rhs blocks
+    fr1_b = [-jnp.sum(fr1s[i] * rel_vels[i], axis=-1) for i in range(n_c)]
+    fr2_b = [-jnp.sum(fr2s[i] * rel_vels[i], axis=-1) for i in range(n_c)]
+
+    def proj(jacs, direction):
+        """J^T d per candidate -> constraint row (…, n)."""
+        return [
+            jnp.einsum("...ij,...i->...j", jacs[i], direction[i])
+            for i in range(n_c)
+        ]
+
+    def stack_rows(rows):
+        return jnp.stack(rows, axis=-2)  # (…, n_rows, n)
+
+    dirs = [normals, fr1s] + ([fr2s] if params.num_friction_dir > 1 else [])
+    rhs_blocks = [b_vec, fr1_b] + ([fr2_b] if params.num_friction_dir > 1 else [])
+
+    j_a = stack_rows(sum((proj(jacs_a_n, d) for d in dirs), [])) if n_a else None
+    j_b = stack_rows(sum((proj(jacs_b_n, d) for d in dirs), [])) if n_b else None
+    rhs = jnp.stack(sum(rhs_blocks, []), axis=-1)  # (…, n_rows)
+
+    a_mat = jnp.zeros(bshape + (n_rows, n_rows), dtype=dtype)
+    if n_a:
+        a_mat = a_mat + j_a @ minv_a @ jnp.swapaxes(j_a, -1, -2)
+    if n_b:
+        a_mat = a_mat + j_b @ minv_b @ jnp.swapaxes(j_b, -1, -2)
+    a_mat = a_mat + params.cfm * jnp.eye(n_rows, dtype=dtype)
+
+    big = 1e5
+    fric = batch.friction if batch.friction.ndim else jnp.full((n_c,), batch.friction)
+    lo = jnp.concatenate(
+        [jnp.zeros(bshape + (n_c,), dtype=dtype)]
+        + [-jnp.broadcast_to(fric, bshape + (n_c,))] * params.num_friction_dir,
+        axis=-1,
+    )
+    hi = jnp.concatenate(
+        [jnp.full(bshape + (n_c,), big, dtype=dtype)]
+        + [jnp.broadcast_to(fric, bshape + (n_c,))] * params.num_friction_dir,
+        axis=-1,
+    )
+    limit_dependency = [-1] * n_c
+    for d in range(params.num_friction_dir):
+        limit_dependency += list(range(n_c))
+
+    x0 = jnp.zeros(bshape + (n_rows,), dtype=dtype)
+    p = solve_pgs(a_mat, rhs, lo, hi, limit_dependency, x0, params.pgs_iterations)
+
+    if n_a:
+        qd_a = qd_a + jnp.einsum(
+            "...nm,...rn,...r->...m", minv_a, j_a, p
+        )
+    if n_b:
+        qd_b = qd_b - jnp.einsum(
+            "...nm,...rn,...r->...m", minv_b, j_b, p
+        )
+    return qd_a, qd_b, p

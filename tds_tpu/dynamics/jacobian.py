@@ -27,12 +27,29 @@ def point_jacobian(
     link frame and the Jacobian is the base-frame variant the constraint
     solver uses, jacobian.hpp:68-75).
     """
-    dtype = q.dtype
-    batch = q.shape[:-1]
+    base_x_world, links_x_world, links_x_base = forward_kinematics_q(model, q)
+    return point_jacobian_kin(
+        model, base_x_world, links_x_world, links_x_base, link_index, point,
+        is_local_point=is_local_point, batch=q.shape[:-1], dtype=q.dtype,
+    )
+
+
+def point_jacobian_kin(
+    model: MultiBodyModel,
+    base_x_world,
+    links_x_world,
+    links_x_base,
+    link_index: int,
+    point,
+    is_local_point: bool = False,
+    batch=(),
+    dtype=None,
+):
+    """Same as :func:`point_jacobian` with precomputed link transforms —
+    the contact solver computes FK once and builds many Jacobians."""
+    dtype = dtype or base_x_world.pos.dtype
     n = model.dof_qd
     jac = jnp.zeros(batch + (3, n), dtype=dtype)
-
-    base_x_world, links_x_world, links_x_base = forward_kinematics_q(model, q)
 
     point = jnp.asarray(point, dtype=dtype)
     if model.is_floating:
