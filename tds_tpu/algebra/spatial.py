@@ -58,6 +58,21 @@ def dot(a, b):
     return jnp.sum(a * b, axis=-1)
 
 
+def safe_norm(v, axis=-1):
+    """|v| with a well-defined zero gradient at v = 0 (double-where trick);
+    plain jnp.linalg.norm backprops NaN at exactly zero."""
+    sq = jnp.sum(v * v, axis=axis)
+    positive = sq > 0
+    safe = jnp.where(positive, sq, 1.0)
+    return jnp.where(positive, jnp.sqrt(safe), 0.0)
+
+
+def safe_normalize(v, axis=-1, eps=1e-12):
+    """v/|v| with zero output (and finite gradient) at v = 0."""
+    n = safe_norm(v, axis=axis)
+    return v / jnp.maximum(n, eps)[..., None], n
+
+
 def cross_matrix(v):
     """Skew-symmetric 3x3 matrix vx such that vx @ u = v x u."""
     x, y, z = v[..., 0], v[..., 1], v[..., 2]

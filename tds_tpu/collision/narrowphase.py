@@ -42,8 +42,10 @@ class Contact(NamedTuple):
 
 def sphere_sphere(sa: Sphere, xa: Transform, sb: Sphere, xb: Transform) -> Contact:
     """contact_point.hpp:44-94 (CppAD branch: always emit)."""
+    from tds_tpu.algebra.spatial import safe_norm
+
     diff = xa.pos - xb.pos
-    length = jnp.linalg.norm(diff, axis=-1)
+    length = safe_norm(diff, axis=-1)
     safe = jnp.maximum(length, 1e-12)
     normal = diff / safe[..., None]
     distance = length - (sa.radius + sb.radius)
@@ -115,7 +117,9 @@ def sphere_box(sa: Sphere, xa: Transform, bb: Box, xb: Transform) -> Contact:
     rel = xb.apply_inverse_point(xa.pos)
     closest = jnp.clip(rel, -he, he)
     delta = rel - closest
-    dist_out = jnp.linalg.norm(delta, axis=-1)
+    from tds_tpu.algebra.spatial import safe_norm
+
+    dist_out = safe_norm(delta, axis=-1)
     outside = dist_out > 1e-12
     n_out = delta / jnp.maximum(dist_out, 1e-12)[..., None]
 

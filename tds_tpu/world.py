@@ -20,6 +20,7 @@ from flax import struct
 from tds_tpu.collision import narrowphase
 from tds_tpu.collision.narrowphase import Contact
 from tds_tpu.contact.mlcp import ContactBatch, ContactSolverParams, resolve_collision
+from tds_tpu.contact.spring import SpringContactParams, resolve_collision_spring
 from tds_tpu.dynamics.forward_dynamics import forward_dynamics
 from tds_tpu.dynamics.integrator import integrate_euler_qdd, integrate_q
 from tds_tpu.dynamics.kinematics import forward_kinematics_q
@@ -36,6 +37,12 @@ class World:
     geoms: Tuple[Tuple[GeomAttachment, ...], ...] = struct.field(pytree_node=False)
     solver: ContactSolverParams = struct.field(
         pytree_node=False, default=ContactSolverParams()
+    )
+    # "mlcp" (impulse-level LCP, reference default) or "spring" (force-based
+    # spring-damper, the smooth-gradient alternative)
+    contact_model: str = struct.field(pytree_node=False, default="mlcp")
+    spring: SpringContactParams = struct.field(
+        pytree_node=False, default=SpringContactParams()
     )
 
     @property
@@ -54,11 +61,15 @@ def make_ground_plane(normal=(0.0, 0.0, 1.0), constant=0.0, dtype=None):
 def build_world(
     bodies_and_geoms: Sequence[Tuple[MultiBodyModel, Sequence[GeomAttachment]]],
     solver: ContactSolverParams = ContactSolverParams(),
+    contact_model: str = "mlcp",
+    spring: SpringContactParams = SpringContactParams(),
 ) -> World:
     return World(
         bodies=tuple(b for b, _ in bodies_and_geoms),
         geoms=tuple(tuple(g) for _, g in bodies_and_geoms),
         solver=solver,
+        contact_model=contact_model,
+        spring=spring,
     )
 
 
@@ -134,17 +145,18 @@ def resolve_contacts(world: World, qs, qds, dt):
             batch = gather_pair_contacts(world, kin_list, i, j, dtype)
             if batch is None:
                 continue
-            qd_a, qd_b, _ = resolve_collision(
-                world.bodies[i],
-                qs[i],
-                qds[i],
-                world.bodies[j],
-                qs[j],
-                qds[j],
-                batch,
-                dt,
-                world.solver,
-            )
+            if world.contact_model == "spring":
+                qd_a, qd_b, _ = resolve_collision_spring(
+                    world.bodies[i], qs[i], qds[i],
+                    world.bodies[j], qs[j], qds[j],
+                    batch, dt, world.spring,
+                )
+            else:
+                qd_a, qd_b, _ = resolve_collision(
+                    world.bodies[i], qs[i], qds[i],
+                    world.bodies[j], qs[j], qds[j],
+                    batch, dt, world.solver,
+                )
             qds[i], qds[j] = qd_a, qd_b
     return tuple(qds)
 
