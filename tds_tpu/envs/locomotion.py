@@ -1,0 +1,139 @@
+"""Generic locomotion environment over a URDF robot + ground plane.
+
+Mirrors LocomotionContactSimulation (examples/environments/
+locomotion_contact_simulation.h:16-300): per control step
+  PD(initial_poses + clipped action) -> ABA -> velocity half-step ->
+  contact impulses -> position update
+with observation [q, qd]. Fixed-base variants emulate the floating base
+with 3 prismatic + 3 revolute passive joints (the *_xyz_xyzrot URDFs) whose
+links are skipped by the PD loop (:180).
+"""
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from tds_tpu.contact.mlcp import ContactSolverParams
+from tds_tpu.control.pd import pd_tau
+from tds_tpu.dynamics.forward_dynamics import forward_dynamics
+from tds_tpu.dynamics.integrator import integrate_euler_qdd, integrate_q
+from tds_tpu.envs.base import Env, EnvState
+from tds_tpu.model.multibody import MultiBodyModel
+from tds_tpu.world import build_world, make_ground_plane, resolve_contacts
+
+
+class LocomotionEnv(Env):
+    def __init__(
+        self,
+        model: MultiBodyModel,
+        geoms,
+        initial_poses: Sequence[float],
+        kp: float,
+        kd: float,
+        max_force: float,
+        dt: float = 1e-3,
+        start_base_position=(0.0, 0.0, 0.48),
+        action_limit: float = 0.4,
+        reset_noise: float = 0.05,
+        settle_steps: int = 10,
+        gravity=(0.0, 0.0, -9.81),
+        solver: ContactSolverParams = ContactSolverParams(),
+        contact_model: str = "mlcp",
+    ):
+        self.model = model
+        self.dt = dt
+        self.kp = kp
+        self.kd = kd
+        self.max_force = max_force
+        self.action_limit = action_limit
+        self.reset_noise = reset_noise
+        self.settle_steps = settle_steps
+        self.start_base_position = jnp.asarray(start_base_position)
+        self.gravity = jnp.asarray(gravity)
+        self.initial_poses = jnp.asarray(initial_poses)
+        self.action_dim = len(initial_poses)
+        self.observation_dim = model.dof_q + model.dof_qd
+        self.skip_links = 0 if model.is_floating else 6
+        plane_model, plane_geoms = make_ground_plane()
+        self.world = build_world(
+            [(plane_model, plane_geoms), (model, tuple(geoms))],
+            solver=solver,
+            contact_model=contact_model,
+        )
+
+    # -- dynamics ----------------------------------------------------------
+    def sim_step(self, q, qd, action):
+        clipped = jnp.clip(action, -self.action_limit, self.action_limit)
+        targets = self.initial_poses + clipped
+        tau = pd_tau(
+            self.model, q, qd, targets, self.kp, self.kd, self.max_force,
+            skip_links=self.skip_links,
+        )
+        qdd = forward_dynamics(self.model, q, qd, tau, self.gravity)
+        qd = integrate_euler_qdd(self.model, q, qd, qdd, self.dt)
+        zero = jnp.zeros(q.shape[:-1] + (0,), dtype=q.dtype)
+        qds = resolve_contacts(self.world, (zero, q), (zero, qd), self.dt)
+        qd = qds[1]
+        q, qd = integrate_q(self.model, q, qd, self.dt)
+        return q, qd
+
+    def observation(self, q, qd):
+        return jnp.concatenate([q, qd], axis=-1)
+
+    # -- env API -----------------------------------------------------------
+    def initial_state(self, key):
+        model = self.model
+        q = model.zero_q()
+        if model.is_floating:
+            q = q.at[4:7].set(self.start_base_position.astype(q.dtype))
+            q = q.at[7 : 7 + self.action_dim].set(self.initial_poses.astype(q.dtype))
+            joints_off = 7
+        else:
+            q = q.at[0:3].set(self.start_base_position.astype(q.dtype))
+            noise = jax.random.uniform(
+                key, (self.action_dim,), minval=-self.reset_noise,
+                maxval=self.reset_noise, dtype=q.dtype,
+            )
+            q = q.at[6 : 6 + self.action_dim].set(
+                self.initial_poses.astype(q.dtype) + noise
+            )
+        qd = model.zero_qd()
+        return q, qd
+
+    def reset(self, key):
+        key, sub = jax.random.split(key)
+        q, qd = self.initial_state(sub)
+        # settle-down steps with zero action (laikago_environment2.h:96-110)
+        zero_action = jnp.zeros(self.action_dim, dtype=q.dtype)
+
+        def body(carry, _):
+            q, qd = carry
+            return self.sim_step(q, qd, zero_action), None
+
+        (q, qd), _ = jax.lax.scan(body, (q, qd), None, length=self.settle_steps)
+        state = EnvState(q=q, qd=qd, t=jnp.zeros((), jnp.int32), key=key)
+        return state, self.observation(q, qd)
+
+    def step(self, state: EnvState, action):
+        q, qd = self.sim_step(state.q, state.qd, action)
+        reward, done = self.reward_done(state.q, state.qd, q, qd)
+        new_state = EnvState(q=q, qd=qd, t=state.t + 1, key=state.key)
+        return new_state, self.observation(q, qd), reward, done
+
+    # -- per-robot specialization -----------------------------------------
+    def base_pose_xyz_rpy(self, q):
+        """(x, y, z, up_dot_world_z) for reward/termination."""
+        from tds_tpu.algebra import quaternion, rotation
+
+        if self.model.is_floating:
+            pos = q[..., 4:7]
+            up = quaternion.to_matrix(q[..., 0:4])[..., 2, 2]
+        else:
+            pos = q[..., 0:3]
+            rpy = q[..., 3:6]
+            up = rotation.from_rpy(rpy[..., 0], rpy[..., 1], rpy[..., 2])[..., 2, 2]
+        return pos, up
+
+    def reward_done(self, q_prev, qd_prev, q, qd):
+        raise NotImplementedError
