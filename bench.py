@@ -1,0 +1,82 @@
+#!/usr/bin/env python
+"""Benchmark: batched laikago env-steps/s with contact on one chip.
+
+Prints ONE JSON line:
+  {"metric": "laikago_env_steps_per_s", "value": N, "unit": "steps/s",
+   "vs_baseline": N / 2.0e5}
+
+Baseline: the reference's derived headline throughput, ~2.0e5 env-steps/s on
+an RTX 2080 (BASELINE.md: 4096 envs x 50 Hz, README.md:14 +
+examples/ars/cuda_codegen.cpp:42).
+"""
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/tds_tpu_jax_cache")
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"])
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def main():
+    batch = int(os.environ.get("TDS_BENCH_BATCH", 4096))
+    inner_steps = int(os.environ.get("TDS_BENCH_STEPS", 100))
+
+    from tds_tpu.envs.laikago import LaikagoEnv
+
+    env = LaikagoEnv(dtype=jnp.float32)
+
+    @jax.jit
+    def rollout(qs, qds):
+        def body(carry, _):
+            q, qd = carry
+            action = jnp.zeros(q.shape[:-1] + (env.action_dim,), q.dtype)
+            q, qd = jax.vmap(env.sim_step)(q, qd, action)
+            return (q, qd), None
+
+        (qs, qds), _ = jax.lax.scan(body, (qs, qds), None, length=inner_steps)
+        return qs, qds
+
+    key = jax.random.PRNGKey(0)
+    q0, qd0 = env.initial_state(key)
+    qs = jnp.tile(q0[None, :], (batch, 1))
+    qds = jnp.tile(qd0[None, :], (batch, 1))
+
+    # compile + warmup
+    t0 = time.time()
+    qs_w, qds_w = rollout(qs, qds)
+    jax.block_until_ready(qs_w)
+    compile_s = time.time() - t0
+
+    # timed runs
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        out_q, out_qd = rollout(qs, qds)
+        jax.block_until_ready(out_q)
+        best = min(best, time.time() - t0)
+
+    finite = bool(jnp.all(jnp.isfinite(out_q)))
+    steps_per_s = batch * inner_steps / best
+    result = {
+        "metric": "laikago_env_steps_per_s",
+        "value": round(steps_per_s, 1),
+        "unit": "steps/s",
+        "vs_baseline": round(steps_per_s / 2.0e5, 3),
+    }
+    print(json.dumps(result))
+    print(
+        f"# batch={batch} steps={inner_steps} best={best:.4f}s "
+        f"compile={compile_s:.1f}s finite={finite} device={jax.devices()[0]}",
+        file=sys.stderr,
+    )
+
+
+if __name__ == "__main__":
+    main()

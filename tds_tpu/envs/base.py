@@ -37,3 +37,9 @@ class Env:
 
     def step(self, state: EnvState, action):
         raise NotImplementedError
+
+    def action_transform(self, raw_action):
+        """Map raw policy outputs to env actions. Identity by default; e.g.
+        cartpole clips to [-1, 1] and rescales to the force range
+        (cartpole_environment2.h:288-321)."""
+        return raw_action

@@ -33,6 +33,13 @@ class CartpoleEnv(Env):
         self.action_low = -10.0
         self.action_high = 10.0
 
+    def action_transform(self, raw_action):
+        """clip [-1, 1] then scale to [low, high] (cartpole_environment2.h:305-321)."""
+        a = jnp.clip(raw_action, -1.0, 1.0)
+        return a * (self.action_high - self.action_low) / 2.0 + (
+            self.action_low + self.action_high
+        ) / 2.0
+
     def sim_step(self, q, qd, action):
         force = jnp.clip(action, self.action_low, self.action_high)
         tau = jnp.zeros(q.shape[:-1] + (self.model.dof_actuated,), q.dtype)

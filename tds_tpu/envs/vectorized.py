@@ -60,7 +60,7 @@ def rollout(env: Env, policy_fn, params, key, num_steps: int):
 
     def step(carry, _):
         state, obs, total, alive = carry
-        action = policy_fn(params, obs)
+        action = env.action_transform(policy_fn(params, obs))
         state, obs, reward, done = env.step(state, action)
         total = total + reward * alive
         alive = alive * (1.0 - done.astype(obs.dtype))

@@ -1,0 +1,70 @@
+"""Learning stack tests: MLP, RunningStat, ARS on cartpole."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tds_tpu.envs.cartpole import CartpoleEnv
+from tds_tpu.learn.ars import ARSConfig, init_ars, make_eval, make_train_step
+from tds_tpu.learn.nn import Activation, MLPSpec, linear_policy
+from tds_tpu.learn.running_stat import RunningStat
+
+
+def test_mlp_shapes_and_flat_params():
+    spec = MLPSpec(4, [8, 2], [Activation.TANH, Activation.IDENTITY])
+    assert spec.num_parameters == (4 * 8 + 8) + (8 * 2 + 2)
+    params = spec.init(jax.random.PRNGKey(0))
+    y = spec.apply(params, jnp.ones(4))
+    assert y.shape == (2,)
+    # batched params (vmap-style broadcast)
+    pb = jnp.stack([params, params * 2])
+    yb = jax.vmap(spec.apply)(pb, jnp.ones((2, 4)))
+    assert yb.shape == (2, 2)
+    np.testing.assert_allclose(yb[0], y, atol=1e-6)
+
+
+def test_running_stat_matches_numpy():
+    rng = np.random.default_rng(0)
+    data = rng.normal(loc=3.0, scale=2.0, size=(1000, 5))
+    stat = RunningStat.create(5, jnp.float64)
+    for chunk in np.split(data, 10):
+        stat = stat.update_batch(jnp.asarray(chunk))
+    np.testing.assert_allclose(stat.mean, data.mean(0), rtol=1e-9)
+    np.testing.assert_allclose(stat.std, data.std(0), rtol=1e-9)
+    # normalization
+    norm = stat.normalize(jnp.asarray(data[0]))
+    np.testing.assert_allclose(
+        norm, (data[0] - data.mean(0)) / data.std(0), rtol=1e-7
+    )
+
+
+def test_running_stat_merge_associative():
+    rng = np.random.default_rng(1)
+    a = rng.normal(size=(100, 3))
+    b = rng.normal(size=(50, 3)) + 1.0
+    s_ab = RunningStat.create(3, jnp.float64).update_batch(jnp.asarray(a)).update_batch(jnp.asarray(b))
+    s_all = RunningStat.create(3, jnp.float64).update_batch(
+        jnp.asarray(np.concatenate([a, b]))
+    )
+    np.testing.assert_allclose(s_ab.mean, s_all.mean, rtol=1e-9)
+    np.testing.assert_allclose(s_ab.std, s_all.std, rtol=1e-9)
+
+
+def test_ars_improves_cartpole():
+    env = CartpoleEnv()
+    policy = linear_policy(env.observation_dim, env.action_dim)
+    config = ARSConfig(
+        num_directions=64, rollout_length=200, delta_std=0.3, step_size=1.0,
+        shift=0.0,
+    )
+    step_fn = make_train_step(env, policy, config)
+    eval_fn = make_eval(env, policy, config, num_rollouts=8)
+    state = init_ars(env, policy, jax.random.PRNGKey(0))
+    before = float(eval_fn(state, jax.random.PRNGKey(100))["eval_reward_mean"])
+    for _ in range(30):
+        state, metrics = step_fn(state)
+    after = float(eval_fn(state, jax.random.PRNGKey(100))["eval_reward_mean"])
+    # zero policy survives ~40 steps; trained should do clearly better
+    assert after > before + 8, (before, after)
+    assert state.total_timesteps > 0
+    assert float(state.obs_stat.count) > 0
