@@ -121,11 +121,13 @@ class ArticulatedBodyInertia(NamedTuple):
         the bug with a dense 6x6 inverse; we implement the correct Schur
         complement with C = H^T, which matches that branch.
         """
-        a_inv = jnp.linalg.inv(self.I)
+        from tds_tpu.algebra.linalg import inv3
+
+        a_inv = inv3(self.I)
         h = self.H
         ht = jnp.swapaxes(h, -1, -2)
         s = self.M - ht @ a_inv @ h
-        s_inv = jnp.linalg.inv(s)
+        s_inv = inv3(s)
         ainv_h_sinv = a_inv @ h @ s_inv
         return ArticulatedBodyInertia(
             I=a_inv + ainv_h_sinv @ ht @ a_inv, H=-ainv_h_sinv, M=s_inv

@@ -121,9 +121,12 @@ def resolve_collision(
     cp = batch.contact
     collision = (cp.distance < 0.0).astype(dtype)  # (…, k)
 
-    # mass-matrix inverses (block diagonal over the pair)
-    minv_a = jnp.linalg.inv(mass_matrix(model_a, q_a)) if n_a else None
-    minv_b = jnp.linalg.inv(mass_matrix(model_b, q_b)) if n_b else None
+    # mass-matrix Cholesky factors (jnp.linalg.inv lowers to sequential LU
+    # loops on TPU; the unrolled factor/solve is pure fused arithmetic)
+    from tds_tpu.algebra.linalg import cho_solve_unrolled, cholesky_unrolled
+
+    chol_a = cholesky_unrolled(mass_matrix(model_a, q_a)) if n_a else None
+    chol_b = cholesky_unrolled(mass_matrix(model_b, q_b)) if n_b else None
 
     # FK once per body for contact jacobians
     kin_a = forward_kinematics_q(model_a, q_a) if n_a else None
@@ -184,10 +187,13 @@ def resolve_collision(
     rhs = jnp.stack(sum(rhs_blocks, []), axis=-1)  # (…, n_rows)
 
     a_mat = jnp.zeros(bshape + (n_rows, n_rows), dtype=dtype)
+    minv_jt_a = minv_jt_b = None
     if n_a:
-        a_mat = a_mat + j_a @ minv_a @ jnp.swapaxes(j_a, -1, -2)
+        minv_jt_a = cho_solve_unrolled(chol_a, jnp.swapaxes(j_a, -1, -2))
+        a_mat = a_mat + j_a @ minv_jt_a
     if n_b:
-        a_mat = a_mat + j_b @ minv_b @ jnp.swapaxes(j_b, -1, -2)
+        minv_jt_b = cho_solve_unrolled(chol_b, jnp.swapaxes(j_b, -1, -2))
+        a_mat = a_mat + j_b @ minv_jt_b
     a_mat = a_mat + params.cfm * jnp.eye(n_rows, dtype=dtype)
 
     big = 1e5
@@ -210,11 +216,7 @@ def resolve_collision(
     p = solve_pgs(a_mat, rhs, lo, hi, limit_dependency, x0, params.pgs_iterations)
 
     if n_a:
-        qd_a = qd_a + jnp.einsum(
-            "...nm,...rn,...r->...m", minv_a, j_a, p
-        )
+        qd_a = qd_a + jnp.einsum("...mr,...r->...m", minv_jt_a, p)
     if n_b:
-        qd_b = qd_b - jnp.einsum(
-            "...nm,...rn,...r->...m", minv_b, j_b, p
-        )
+        qd_b = qd_b - jnp.einsum("...mr,...r->...m", minv_jt_b, p)
     return qd_a, qd_b, p

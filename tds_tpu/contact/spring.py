@@ -171,10 +171,10 @@ def resolve_collision_spring(
         if n_b:
             gen_force_b = gen_force_b - jnp.einsum("...ij,...i->...j", jb, force)
 
+    from tds_tpu.algebra.linalg import solve_pd
+
     if n_a:
-        minv_a = jnp.linalg.inv(mass_matrix(model_a, q_a))
-        qd_a = qd_a + dt * jnp.einsum("...ij,...j->...i", minv_a, gen_force_a)
+        qd_a = qd_a + dt * solve_pd(mass_matrix(model_a, q_a), gen_force_a)
     if n_b:
-        minv_b = jnp.linalg.inv(mass_matrix(model_b, q_b))
-        qd_b = qd_b + dt * jnp.einsum("...ij,...j->...i", minv_b, gen_force_b)
+        qd_b = qd_b + dt * solve_pd(mass_matrix(model_b, q_b), gen_force_b)
     return qd_a, qd_b, jnp.stack(forces, axis=-2)

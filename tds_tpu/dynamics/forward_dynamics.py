@@ -72,7 +72,9 @@ def forward_dynamics(
             tau_l = tau_l - model.damping[i] * model.qd_for_link(qd, i)
             # u = tau - S^T pA ; S top is identity so S^T pA = pA.top
             u3b = tau_l - jnp.einsum("...ji,...j->...i", s, p_a[i])
-            invd3 = jnp.linalg.inv(d3)
+            from tds_tpu.algebra.linalg import inv3
+
+            invd3 = inv3(d3)
             u_dinv_ut = ArticulatedBodyInertia.outer_63(u3, u3 @ invd3)
             uud = _mat63_vec(u3, jnp.einsum("...ij,...j->...i", invd3, u3b))
             u_terms[i], d_inv[i], u_bias[i] = u3, invd3, u3b
