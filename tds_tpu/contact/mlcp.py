@@ -25,8 +25,8 @@ import jax.numpy as jnp
 
 from tds_tpu.collision.narrowphase import Contact
 from tds_tpu.dynamics.jacobian import point_jacobian_kin
-from tds_tpu.dynamics.kinematics import forward_kinematics_q
-from tds_tpu.dynamics.mass_matrix import mass_matrix
+from tds_tpu.dynamics.kinematics import fk_links
+from tds_tpu.dynamics.mass_matrix import mass_matrix_from_kin
 from tds_tpu.model.multibody import MultiBodyModel
 
 
@@ -105,10 +105,14 @@ def resolve_collision(
     batch: ContactBatch,
     dt,
     params: ContactSolverParams = ContactSolverParams(),
+    kin_a=None,
+    kin_b=None,
 ):
     """Returns (qd_a', qd_b', impulses) after resolving the contact batch.
 
     Either body may have zero DoF (e.g. a static ground plane).
+    ``kin_a``/``kin_b``: optional precomputed :class:`KinLinks` so the FK
+    pass is shared with ABA within a step.
     """
     n_a, n_b = model_a.dof_qd, model_b.dof_qd
     n_c = batch.contact.count
@@ -121,22 +125,28 @@ def resolve_collision(
     cp = batch.contact
     collision = (cp.distance < 0.0).astype(dtype)  # (…, k)
 
+    if kin_a is None and n_a:
+        kin_a = fk_links(model_a, q_a, jnp.zeros_like(qd_a))
+    if kin_b is None and n_b:
+        kin_b = fk_links(model_b, q_b, jnp.zeros_like(qd_b))
+
     # mass-matrix Cholesky factors (jnp.linalg.inv lowers to sequential LU
     # loops on TPU; the unrolled factor/solve is pure fused arithmetic)
     from tds_tpu.algebra.linalg import cho_solve_unrolled, cholesky_unrolled
 
-    chol_a = cholesky_unrolled(mass_matrix(model_a, q_a)) if n_a else None
-    chol_b = cholesky_unrolled(mass_matrix(model_b, q_b)) if n_b else None
+    chol_a = (
+        cholesky_unrolled(mass_matrix_from_kin(model_a, kin_a, q_a)) if n_a else None
+    )
+    chol_b = (
+        cholesky_unrolled(mass_matrix_from_kin(model_b, kin_b, q_b)) if n_b else None
+    )
 
-    # FK once per body for contact jacobians
-    kin_a = forward_kinematics_q(model_a, q_a) if n_a else None
-    kin_b = forward_kinematics_q(model_b, q_b) if n_b else None
     bshape = q_a.shape[:-1] if n_a else q_b.shape[:-1]
 
     def jac(model, kin, link, point):
-        base_x, lxw, lxb = kin
         return point_jacobian_kin(
-            model, base_x, lxw, lxb, link, point, batch=bshape, dtype=dtype
+            model, kin.base_x_world, kin.x_world, None, link, point,
+            batch=bshape, dtype=dtype,
         )
 
     rows_a = []  # (…, 3n_rows? ) rows for body a: list of (…, n_a)

@@ -26,8 +26,8 @@ import jax.numpy as jnp
 
 from tds_tpu.contact.mlcp import ContactBatch
 from tds_tpu.dynamics.jacobian import point_jacobian_kin
-from tds_tpu.dynamics.kinematics import forward_kinematics_q
-from tds_tpu.dynamics.mass_matrix import mass_matrix
+from tds_tpu.dynamics.kinematics import fk_links
+from tds_tpu.dynamics.mass_matrix import mass_matrix_from_kin
 from tds_tpu.model.multibody import MultiBodyModel
 
 
@@ -127,6 +127,8 @@ def resolve_collision_spring(
     batch: ContactBatch,
     dt,
     params: SpringContactParams = SpringContactParams(),
+    kin_a=None,
+    kin_b=None,
 ):
     """Returns (qd_a', qd_b', forces) with contact forces integrated into
     the generalized velocities over dt."""
@@ -137,13 +139,15 @@ def resolve_collision_spring(
     dtype = batch.contact.distance.dtype
     bshape = q_a.shape[:-1] if n_a else q_b.shape[:-1]
 
-    kin_a = forward_kinematics_q(model_a, q_a) if n_a else None
-    kin_b = forward_kinematics_q(model_b, q_b) if n_b else None
+    if kin_a is None and n_a:
+        kin_a = fk_links(model_a, q_a, jnp.zeros_like(qd_a))
+    if kin_b is None and n_b:
+        kin_b = fk_links(model_b, q_b, jnp.zeros_like(qd_b))
 
     def jac(model, kin, link, point):
-        base_x, lxw, lxb = kin
         return point_jacobian_kin(
-            model, base_x, lxw, lxb, link, point, batch=bshape, dtype=dtype
+            model, kin.base_x_world, kin.x_world, None, link, point,
+            batch=bshape, dtype=dtype,
         )
 
     gen_force_a = jnp.zeros(bshape + (n_a,), dtype=dtype) if n_a else None
@@ -174,7 +178,11 @@ def resolve_collision_spring(
     from tds_tpu.algebra.linalg import solve_pd
 
     if n_a:
-        qd_a = qd_a + dt * solve_pd(mass_matrix(model_a, q_a), gen_force_a)
+        qd_a = qd_a + dt * solve_pd(
+            mass_matrix_from_kin(model_a, kin_a, q_a), gen_force_a
+        )
     if n_b:
-        qd_b = qd_b + dt * solve_pd(mass_matrix(model_b, q_b), gen_force_b)
+        qd_b = qd_b + dt * solve_pd(
+            mass_matrix_from_kin(model_b, kin_b, q_b), gen_force_b
+        )
     return qd_a, qd_b, jnp.stack(forces, axis=-2)

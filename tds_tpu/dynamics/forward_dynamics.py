@@ -39,12 +39,17 @@ def forward_dynamics(
         raise ValueError(
             f"tau has {tau.shape[-1]} entries, model has {model.dof_actuated} actuated DoF"
         )
+    kin = fk_links(model, q, qd, f_ext=f_ext, base_applied_force=base_applied_force)
+    return forward_dynamics_from_kin(model, kin, q, qd, tau, gravity)
+
+
+def forward_dynamics_from_kin(model: MultiBodyModel, kin, q, qd, tau, gravity):
+    """ABA sweeps over a precomputed forward-kinematics pass (one FK can be
+    shared between ABA, CRBA and contact Jacobians within a step)."""
     nl = model.num_links
     dtype = q.dtype
     gravity = jnp.asarray(gravity, dtype=dtype)
     spatial_gravity = spatial.mv(jnp.zeros_like(gravity), gravity)
-
-    kin = fk_links(model, q, qd, f_ext=f_ext, base_applied_force=base_applied_force)
 
     p_a = list(kin.pA)
     abi = list(kin.abi)

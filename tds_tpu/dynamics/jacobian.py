@@ -46,44 +46,49 @@ def point_jacobian_kin(
     dtype=None,
 ):
     """Same as :func:`point_jacobian` with precomputed link transforms —
-    the contact solver computes FK once and builds many Jacobians."""
+    the contact solver computes FK once and builds many Jacobians.
+
+    Assembly is scatter-free: columns collect into a dict and the (…, 3, n)
+    matrix materializes with one stack (per-column ``.at[]`` updates copy
+    the whole batched buffer each time)."""
     dtype = dtype or base_x_world.pos.dtype
     n = model.dof_qd
-    jac = jnp.zeros(batch + (3, n), dtype=dtype)
-
     point = jnp.asarray(point, dtype=dtype)
+
+    cols = {}  # col index -> (…, 3) vector
     if model.is_floating:
         base_point = point if is_local_point else point - base_x_world.pos
         cr = jnp.swapaxes(spatial.cross_matrix(base_point), -1, -2)
-        jac = jac.at[..., :, 0:3].set(cr)
-        eye = jnp.broadcast_to(jnp.eye(3, dtype=dtype), batch + (3, 3))
-        jac = jac.at[..., :, 3:6].set(eye)
+        for c in range(3):
+            cols[c] = cr[..., :, c]
+        eye = jnp.eye(3, dtype=dtype)
+        for c in range(3):
+            cols[3 + c] = jnp.broadcast_to(eye[:, c], batch + (3,))
 
-    if link_index is None or link_index < 0:
-        return jac
+    if link_index is not None and link_index >= 0:
+        i = link_index
+        while True:
+            jt = JointType(model.joint_types[i])
+            x_frame = links_x_base[i] if is_local_point else links_x_world[i]
+            if jt == JointType.SPHERICAL:
+                s = model.motion_subspace(i)  # (6,3)
+                st = x_frame.motion_matrix_to_parent(s)
+                top = st[..., 0:3, :]
+                bottom = st[..., 3:6, :] - spatial.cross_matrix(point) @ top
+                for c in range(3):
+                    cols[model.qd_offsets[i] + c] = bottom[..., :, c]
+            elif jt != JointType.FIXED:
+                s = model.motion_subspace(i)
+                st = x_frame.motion_to_parent(s)
+                cols[model.qd_offsets[i]] = st[..., 3:6] - jnp.cross(
+                    point, st[..., 0:3]
+                )
+            if model.parents[i] < 0:
+                break
+            i = model.parents[i]
 
-    i = link_index
-    while True:
-        jt = JointType(model.joint_types[i])
-        x_frame = links_x_base[i] if is_local_point else links_x_world[i]
-        if jt == JointType.SPHERICAL:
-            s = model.motion_subspace(i)  # (6,3)
-            st = x_frame.motion_matrix_to_parent(s)
-            # shift to the point: bottom += point x top
-            top = st[..., 0:3, :]
-            bottom = st[..., 3:6, :] - spatial.cross_matrix(point) @ top
-            jac = jac.at[..., :, model.qd_offsets[i] : model.qd_offsets[i] + 3].set(
-                bottom
-            )
-        elif jt != JointType.FIXED:
-            s = model.motion_subspace(i)
-            st = x_frame.motion_to_parent(s)
-            xs_bottom = st[..., 3:6] - jnp.cross(point, st[..., 0:3])
-            jac = jac.at[..., :, model.qd_offsets[i]].set(xs_bottom)
-        if model.parents[i] < 0:
-            break
-        i = model.parents[i]
-    return jac
+    zero = jnp.zeros(batch + (3,), dtype=dtype)
+    return jnp.stack([cols.get(c, zero) for c in range(n)], axis=-1)
 
 
 def point_jacobian_fd(

@@ -2,7 +2,12 @@
 
 Mirrors src/dynamics/mass_matrix.hpp:12-132 including the spherical-joint
 6x3 blocks and the floating-base 6x6 corner. The ancestor walk is unrolled
-at trace time (static topology), so M assembles from static .at[] updates.
+at trace time (static topology).
+
+TPU note: entries accumulate into a Python dict of batched scalars and the
+matrix materializes with ONE stack at the end — per-entry ``.at[]`` updates
+on a (batch, n, n) buffer would each copy the whole buffer (megabytes of
+HBM traffic per entry at production batch sizes).
 """
 
 import jax.numpy as jnp
@@ -17,13 +22,18 @@ from tds_tpu.model.multibody import MultiBodyModel
 def mass_matrix(model: MultiBodyModel, q):
     """Returns M of shape (…, dof_qd, dof_qd), symmetric positive definite
     for well-posed models."""
+    qd0 = jnp.zeros(q.shape[:-1] + (model.dof_qd,), dtype=q.dtype)
+    return mass_matrix_from_kin(model, fk_links(model, q, qd0), q)
+
+
+def mass_matrix_from_kin(model: MultiBodyModel, kin, q):
+    """CRBA over a precomputed FK pass (only the q-dependent x_parent
+    transforms and the RBI-seeded articulated inertias are read, both
+    velocity-independent)."""
     nl = model.num_links
     dtype = q.dtype
     batch = q.shape[:-1]
     n = model.dof_qd
-
-    qd0 = jnp.zeros(batch + (n,), dtype=dtype)
-    kin = fk_links(model, q, qd0)
     ic = list(kin.abi)  # composite inertias, seeded with link RBIs
     base_ic = (
         ArticulatedBodyInertia.from_rbi(model.base_rbi())
@@ -31,7 +41,15 @@ def mass_matrix(model: MultiBodyModel, q):
         else None
     )
 
-    m = jnp.zeros(batch + (n, n), dtype=dtype)
+    entries = {}  # (row, col) -> batched scalar
+
+    def set_entry(r, c, val):
+        entries[(r, c)] = val
+
+    def set_block(r0, c0, block, rows, cols):
+        for r in range(rows):
+            for c in range(cols):
+                set_entry(r0 + r, c0 + c, block[..., r, c])
 
     for i in reversed(range(nl)):
         jt = JointType(model.joint_types[i])
@@ -49,9 +67,7 @@ def mass_matrix(model: MultiBodyModel, q):
         if jt == JointType.SPHERICAL:
             s = model.motion_subspace(i)
             fi = ic[i].mul_matrix63(s)  # (…,6,3)
-            m = m.at[..., qi : qi + 3, qi : qi + 3].set(
-                jnp.swapaxes(s, -1, -2) @ fi
-            )
+            set_block(qi, qi, jnp.swapaxes(s, -1, -2) @ fi, 3, 3)
             j = i
             while model.parents[j] != -1:
                 fi = kin.x_parent[j].force_matrix_to_parent(fi)
@@ -62,23 +78,24 @@ def mass_matrix(model: MultiBodyModel, q):
                 if model.joint_types[j] == JointType.SPHERICAL:
                     sj = model.motion_subspace(j)
                     hij = jnp.swapaxes(fi, -1, -2) @ sj  # (…,3,3)
-                    m = m.at[..., qi : qi + 3, qj : qj + 3].set(hij)
-                    m = m.at[..., qj : qj + 3, qi : qi + 3].set(
-                        jnp.swapaxes(hij, -1, -2)
-                    )
+                    set_block(qi, qj, hij, 3, 3)
+                    set_block(qj, qi, jnp.swapaxes(hij, -1, -2), 3, 3)
                 else:
                     sj = model.motion_subspace(j)
                     hij = jnp.einsum("...ji,...j->...i", fi, sj)  # (…,3)
-                    m = m.at[..., qi : qi + 3, qj].set(hij)
-                    m = m.at[..., qj, qi : qi + 3].set(hij)
+                    for r in range(3):
+                        set_entry(qi + r, qj, hij[..., r])
+                        set_entry(qj, qi + r, hij[..., r])
             if model.is_floating:
                 fi = kin.x_parent[j].force_matrix_to_parent(fi)
-                m = m.at[..., 0:6, qi : qi + 3].set(fi)
-                m = m.at[..., qi : qi + 3, 0:6].set(jnp.swapaxes(fi, -1, -2))
+                for r in range(6):
+                    for c in range(3):
+                        set_entry(r, qi + c, fi[..., r, c])
+                        set_entry(qi + c, r, fi[..., r, c])
         else:
             s = model.motion_subspace(i)
             fi = ic[i].mul_motion(s)  # (…,6)
-            m = m.at[..., qi, qi].set(spatial.dot(s, fi))
+            set_entry(qi, qi, spatial.dot(s, fi))
             j = i
             while model.parents[j] != -1:
                 fi = kin.x_parent[j].force_to_parent(fi)
@@ -89,18 +106,28 @@ def mass_matrix(model: MultiBodyModel, q):
                 if model.joint_types[j] == JointType.SPHERICAL:
                     sj = model.motion_subspace(j)
                     hij = jnp.einsum("...ji,...j->...i", sj, fi)
-                    m = m.at[..., qi, qj : qj + 3].set(hij)
-                    m = m.at[..., qj : qj + 3, qi].set(hij)
+                    for r in range(3):
+                        set_entry(qi, qj + r, hij[..., r])
+                        set_entry(qj + r, qi, hij[..., r])
                 else:
                     sj = model.motion_subspace(j)
                     val = spatial.dot(fi, sj)
-                    m = m.at[..., qi, qj].set(val)
-                    m = m.at[..., qj, qi].set(val)
+                    set_entry(qi, qj, val)
+                    set_entry(qj, qi, val)
             if model.is_floating:
                 fi = kin.x_parent[j].force_to_parent(fi)
-                m = m.at[..., 0:6, qi].set(fi)
-                m = m.at[..., qi, 0:6].set(fi)
+                for r in range(6):
+                    set_entry(r, qi, fi[..., r])
+                    set_entry(qi, r, fi[..., r])
 
     if model.is_floating:
-        m = m.at[..., 0:6, 0:6].set(base_ic.matrix())
-    return m
+        set_block(0, 0, base_ic.matrix(), 6, 6)
+
+    zero = jnp.zeros(batch, dtype=dtype)
+    rows = [
+        jnp.stack(
+            [entries.get((r, c), zero) for c in range(n)], axis=-1
+        )
+        for r in range(n)
+    ]
+    return jnp.stack(rows, axis=-2)

@@ -16,8 +16,9 @@ import jax.numpy as jnp
 
 from tds_tpu.contact.mlcp import ContactSolverParams
 from tds_tpu.control.pd import pd_tau
-from tds_tpu.dynamics.forward_dynamics import forward_dynamics
+from tds_tpu.dynamics.forward_dynamics import forward_dynamics_from_kin
 from tds_tpu.dynamics.integrator import integrate_euler_qdd, integrate_q
+from tds_tpu.dynamics.kinematics import fk_links
 from tds_tpu.envs.base import Env, EnvState
 from tds_tpu.model.multibody import MultiBodyModel
 from tds_tpu.world import build_world, make_ground_plane, resolve_contacts
@@ -70,10 +71,14 @@ class LocomotionEnv(Env):
             self.model, q, qd, targets, self.kp, self.kd, self.max_force,
             skip_links=self.skip_links,
         )
-        qdd = forward_dynamics(self.model, q, qd, tau, self.gravity)
+        # one FK pass shared by ABA, CRBA and the contact Jacobians
+        kin = fk_links(self.model, q, qd)
+        qdd = forward_dynamics_from_kin(self.model, kin, q, qd, tau, self.gravity)
         qd = integrate_euler_qdd(self.model, q, qd, qdd, self.dt)
         zero = jnp.zeros(q.shape[:-1] + (0,), dtype=q.dtype)
-        qds = resolve_contacts(self.world, (zero, q), (zero, qd), self.dt)
+        qds = resolve_contacts(
+            self.world, (zero, q), (zero, qd), self.dt, kins=[None, kin]
+        )
         qd = qds[1]
         q, qd = integrate_q(self.model, q, qd, self.dt)
         return q, qd

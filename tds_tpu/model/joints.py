@@ -127,7 +127,13 @@ def jcalc_transform(joint_type: JointType, x_t: Transform, axis, q_link):
     if joint_type in (JointType.REVOLUTE_X, JointType.REVOLUTE_Y, JointType.REVOLUTE_Z):
         r = _ROTFN[_AXIS_OF[joint_type]](q_link[..., 0])
     elif joint_type == JointType.REVOLUTE_AXIS:
-        quat = quaternion.from_axis_angle(jnp.asarray(axis, dtype=dtype), q_link[..., 0])
+        # the joint ROTATION normalizes the axis (TinyQuaternion::setRotation
+        # divides by |axis|, tiny_quaternion.h:178-183) while the motion
+        # subspace S keeps the raw axis — reference behavior for URDFs with
+        # approximate axes like 0.7071067
+        ax = jnp.asarray(axis, dtype=dtype)
+        ax = ax / jnp.linalg.norm(ax)
+        quat = quaternion.from_axis_angle(ax, q_link[..., 0])
         r = quaternion.to_matrix(quat)
     elif joint_type == JointType.SPHERICAL:
         r = quaternion.to_matrix(q_link)

@@ -212,8 +212,12 @@ class MultiBodyBuilder:
             rot = np.eye(3)
         self.x_t_rot.append(rot)
         ax = np.asarray(axis, dtype=float)
-        n = np.linalg.norm(ax)
-        self.joint_axes.append(ax / n if n > 0 else np.array([1.0, 0, 0]))
+        if np.linalg.norm(ax) == 0.0:
+            raise ValueError("zero joint axis")
+        # NOT normalized: the reference uses URDF axes verbatim
+        # (link.hpp:141-167 only rejects zero axes), and files like the ant's
+        # carry 0.7071067-style approximations whose norm != 1.
+        self.joint_axes.append(ax)
         mass = float(mass)
         com = np.asarray(com, dtype=float)
         icom = (

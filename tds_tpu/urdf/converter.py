@@ -29,17 +29,31 @@ from tds_tpu.model.multibody import MultiBodyBuilder, MultiBodyModel
 from tds_tpu.urdf.structures import UrdfStructures
 
 
-def _inertia_matrix(inertial):
+def _inertia_com_and_matrix(inertial, convention: str = "reference"):
+    """Returns (com, inertia_about_com) in the link frame.
+
+    convention="reference" replicates the reference converter bit-for-bit
+    (urdf_to_multi_body.hpp:52-67,184-190 + transform.hpp:385-404): only the
+    DIAGONAL inertia entries are read, and Transform::apply(rbi) with a
+    rotation-only transform maps I -> R^T I R and com -> R^T com (note the
+    transpose — and that the COM offset is rotated along, unlike the URDF
+    spec). convention="urdf" implements the spec: full tensor, R I R^T,
+    COM left in the link frame.
+    """
+    from tds_tpu.model.multibody import _np_rpy
+
+    r, p, y = inertial.origin_rpy
+    rot = _np_rpy(r, p, y)
+    com = np.asarray(inertial.origin_xyz, dtype=float)
+    if convention == "reference":
+        i = np.diag(inertial.inertia_xxyyzz)
+        return rot.T @ com, rot.T @ i @ rot
     if inertial.inertia_full is not None:
         ixx, ixy, ixz, iyy, iyz, izz = inertial.inertia_full
         i = np.array([[ixx, ixy, ixz], [ixy, iyy, iyz], [ixz, iyz, izz]])
     else:
         i = np.diag(inertial.inertia_xxyyzz)
-    r, p, y = inertial.origin_rpy
-    from tds_tpu.model.multibody import _np_rpy
-
-    rot = _np_rpy(r, p, y)
-    return rot @ i @ rot.T
+    return com, rot @ i @ rot.T
 
 
 _UNIT_AXES = {
@@ -94,14 +108,16 @@ def convert_to_multibody(
     is_floating: bool = False,
     dtype=None,
     use_joint_damping: bool = False,
+    inertia_convention: str = "reference",
 ) -> Tuple[MultiBodyModel, Tuple[GeomAttachment, ...]]:
     """Returns (model, collision attachments). Collision shapes for the base
     use link_index=-1."""
     b = MultiBodyBuilder(is_floating=is_floating, name=urdf.robot_name)
     base = urdf.base_links[0]
-    b.set_base_inertia(
-        base.inertial.mass, base.inertial.origin_xyz, _inertia_matrix(base.inertial)
+    base_com, base_inertia = _inertia_com_and_matrix(
+        base.inertial, inertia_convention
     )
+    b.set_base_inertia(base.inertial.mass, base_com, base_inertia)
 
     geoms: List[GeomAttachment] = []
     for col in base.collisions:
@@ -121,6 +137,7 @@ def convert_to_multibody(
     for i, joint in enumerate(urdf.joints):
         link = urdf.links[i]
         jt, axis = _joint_type(joint.joint_type, joint.axis_xyz)
+        com, inertia = _inertia_com_and_matrix(link.inertial, inertia_convention)
         b.add_link(
             jt,
             parent=link.parent_index,
@@ -128,8 +145,8 @@ def convert_to_multibody(
             x_t_rpy=joint.origin_rpy,
             axis=axis,
             mass=link.inertial.mass,
-            com=link.inertial.origin_xyz,
-            inertia_about_com=_inertia_matrix(link.inertial),
+            com=com,
+            inertia_about_com=inertia,
             # the reference converter drops URDF joint damping/friction
             # (urdf_to_multi_body.hpp never reads them); opt in explicitly
             damping=joint.damping if use_joint_damping else 0.0,

@@ -74,8 +74,11 @@ def build_world(
 
 
 def _geom_world_transform(kin, attachment: GeomAttachment, dtype):
-    base_x, lxw, _ = kin
-    frame = base_x if attachment.link_index < 0 else lxw[attachment.link_index]
+    frame = (
+        kin.base_x_world
+        if attachment.link_index < 0
+        else kin.x_world[attachment.link_index]
+    )
     offset = Transform(
         pos=jnp.asarray(attachment.pos, dtype=dtype),
         rot=jnp.asarray(_np_rpy(*attachment.rpy), dtype=dtype),
@@ -118,12 +121,15 @@ def gather_pair_contacts(
     )
 
 
-def resolve_contacts(world: World, qs, qds, dt):
+def resolve_contacts(world: World, qs, qds, dt, kins=None):
     """One contact-resolution pass over all body pairs; returns new qds.
 
     qs/qds are tuples (one entry per body; zero-DoF bodies hold shape-(0,)
-    arrays).
+    arrays). ``kins``: optional per-body precomputed :class:`KinLinks` (e.g.
+    shared with the ABA pass of the same step).
     """
+    from tds_tpu.dynamics.kinematics import fk_links
+
     dtype = None
     for q in qs:
         if q.shape[-1]:
@@ -132,7 +138,9 @@ def resolve_contacts(world: World, qs, qds, dt):
     if dtype is None:
         return qds
     kin_list = [
-        forward_kinematics_q(world.bodies[i], qs[i])
+        kins[i]
+        if kins is not None and kins[i] is not None
+        else fk_links(world.bodies[i], qs[i], jnp.zeros_like(qds[i]))
         for i in range(world.num_bodies)
     ]
     qds = list(qds)
@@ -150,12 +158,14 @@ def resolve_contacts(world: World, qs, qds, dt):
                     world.bodies[i], qs[i], qds[i],
                     world.bodies[j], qs[j], qds[j],
                     batch, dt, world.spring,
+                    kin_a=kin_list[i], kin_b=kin_list[j],
                 )
             else:
                 qd_a, qd_b, _ = resolve_collision(
                     world.bodies[i], qs[i], qds[i],
                     world.bodies[j], qs[j], qds[j],
                     batch, dt, world.solver,
+                    kin_a=kin_list[i], kin_b=kin_list[j],
                 )
             qds[i], qds[j] = qd_a, qd_b
     return tuple(qds)

@@ -1,0 +1,134 @@
+// Golden-trajectory generator: runs the REFERENCE implementation
+// (tiny-differentiable-simulator, mounted read-only at /root/reference)
+// and dumps double-precision trajectories as JSON for parity tests.
+// Build:  g++ -std=c++17 -O2 -I/root/reference/src -DTDS_HOME=... tools/golden_gen.cpp -o /tmp/golden_gen
+// Output: tests/golden/<case>.json
+#include <cstdio>
+#include <fstream>
+#include <string>
+#include <vector>
+
+#include "math/tiny/tiny_algebra.hpp"
+#include "math/tiny/tiny_double_utils.h"
+#include "multi_body.hpp"
+#include "world.hpp"
+#include "dynamics/forward_dynamics.hpp"
+#include "dynamics/integrator.hpp"
+#include "dynamics/mass_matrix.hpp"
+#include "urdf/urdf_parser.hpp"
+#include "urdf/urdf_to_multi_body.hpp"
+
+using Algebra = TinyAlgebra<double, TINY::DoubleUtils>;
+using Vector3 = Algebra::Vector3;
+using VectorX = Algebra::VectorX;
+
+static std::string read_file(const std::string& path) {
+  std::ifstream f(path);
+  return std::string(std::istreambuf_iterator<char>(f), {});
+}
+
+static void dump_vec(FILE* out, const VectorX& v) {
+  fprintf(out, "[");
+  for (int i = 0; i < Algebra::size(v); ++i)
+    fprintf(out, "%s%.17g", i ? "," : "", v[i]);
+  fprintf(out, "]");
+}
+
+int main(int argc, char** argv) {
+  // ---- case 1: pendulum5 passive swing, dt=1e-3, 1000 steps --------------
+  {
+    tds::World<Algebra> world;
+    tds::UrdfParser<Algebra> parser;
+    tds::NullLogger logger;
+    tds::UrdfStructures<Algebra> urdf;
+    int flags = 0;
+    std::string text = read_file("/root/reference/data/pendulum5.urdf");
+    tds::UrdfParser<Algebra>::load_urdf_from_string(text, flags, logger, urdf);
+    tds::MultiBody<Algebra>* mb = world.create_multi_body("pendulum5");
+    tds::UrdfToMultiBody<Algebra>::convert_to_multi_body(urdf, world, *mb, 0);
+    mb->initialize();
+
+    // fixed initial state
+    double q0[5] = {0.3, -0.2, 0.5, 0.1, -0.4};
+    double qd0[5] = {0.0, 0.1, -0.1, 0.2, 0.0};
+    for (int i = 0; i < 5; ++i) { mb->q(i) = q0[i]; mb->qd(i) = qd0[i]; }
+    Vector3 gravity(0., 0., -9.81);
+    double dt = 1e-3;
+
+    FILE* out = fopen("tests/golden/pendulum5_swing.json", "w");
+    fprintf(out, "{\"dt\": %.17g, \"gravity\": [0,0,-9.81], \"snapshots\": {", dt);
+    bool first = true;
+    for (int t = 0; t <= 1000; ++t) {
+      if (t % 100 == 0) {
+        fprintf(out, "%s\"%d\": {\"q\": ", first ? "" : ",", t);
+        dump_vec(out, mb->q());
+        fprintf(out, ", \"qd\": ");
+        dump_vec(out, mb->qd());
+        fprintf(out, "}");
+        first = false;
+      }
+      if (t == 1000) break;
+      tds::forward_dynamics(*mb, gravity);
+      tds::integrate_euler(*mb, dt);
+    }
+    fprintf(out, "}}\n");
+    fclose(out);
+    printf("wrote pendulum5_swing.json\n");
+  }
+
+  // ---- case 2: ant leg URDF forward dynamics snapshots -------------------
+  {
+    tds::World<Algebra> world;
+    tds::NullLogger logger;
+    tds::UrdfStructures<Algebra> urdf;
+    int flags = 0;
+    std::string text =
+        read_file("/root/reference/data/gym/ant_org_xyz_xyzrot.urdf");
+    tds::UrdfParser<Algebra>::load_urdf_from_string(text, flags, logger, urdf);
+    tds::MultiBody<Algebra>* mb = world.create_multi_body("ant");
+    tds::UrdfToMultiBody<Algebra>::convert_to_multi_body(urdf, world, *mb, 0);
+    mb->initialize();
+
+    int n = mb->dof();
+    int nd = mb->dof_qd();
+    FILE* out = fopen("tests/golden/ant_dynamics.json", "w");
+    fprintf(out, "{\"dof\": %d, \"dof_qd\": %d, \"cases\": [", n, nd);
+    // deterministic pseudo-random states
+    unsigned long long s = 12345;
+    auto rnd = [&s]() {
+      s = s * 6364136223846793005ULL + 1442695040888963407ULL;
+      return ((double)((s >> 33) & 0x7fffffff) / (double)0x40000000) - 1.0;
+    };
+    Vector3 gravity(0., 0., -9.81);
+    for (int c = 0; c < 5; ++c) {
+      for (int i = 0; i < n; ++i) mb->q(i) = 0.4 * rnd();
+      for (int i = 0; i < nd; ++i) mb->qd(i) = 0.5 * rnd();
+      for (int i = 0; i < mb->dof_actuated(); ++i) mb->tau(i) = rnd();
+      VectorX q = mb->q(), qd = mb->qd(), tau = mb->tau();
+      tds::forward_dynamics(*mb, gravity);
+      fprintf(out, "%s{\"q\": ", c ? "," : "");
+      dump_vec(out, q);
+      fprintf(out, ", \"qd\": ");
+      dump_vec(out, qd);
+      fprintf(out, ", \"tau\": ");
+      dump_vec(out, tau);
+      fprintf(out, ", \"qdd\": ");
+      dump_vec(out, mb->qdd());
+      // mass matrix too
+      typename Algebra::MatrixX M(nd, nd);
+      tds::mass_matrix(*mb, q, &M);
+      fprintf(out, ", \"mass_matrix\": [");
+      for (int i = 0; i < nd; ++i) {
+        fprintf(out, "%s[", i ? "," : "");
+        for (int j = 0; j < nd; ++j)
+          fprintf(out, "%s%.17g", j ? "," : "", M(i, j));
+        fprintf(out, "]");
+      }
+      fprintf(out, "]}");
+    }
+    fprintf(out, "]}\n");
+    fclose(out);
+    printf("wrote ant_dynamics.json\n");
+  }
+  return 0;
+}
