@@ -41,6 +41,7 @@ class LocomotionEnv(Env):
         gravity=(0.0, 0.0, -9.81),
         solver: ContactSolverParams = ContactSolverParams(),
         contact_model: str = "mlcp",
+        skip_links: Optional[int] = None,
     ):
         self.model = model
         self.dt = dt
@@ -55,7 +56,9 @@ class LocomotionEnv(Env):
         self.initial_poses = jnp.asarray(initial_poses)
         self.action_dim = len(initial_poses)
         self.observation_dim = model.dof_q + model.dof_qd
-        self.skip_links = 0 if model.is_floating else 6
+        if skip_links is None:
+            skip_links = 0 if model.is_floating else 6
+        self.skip_links = skip_links
         plane_model, plane_geoms = make_ground_plane()
         self.world = build_world(
             [(plane_model, plane_geoms), (model, tuple(geoms))],
