@@ -43,6 +43,31 @@ def compound_pendulum(
     return b.finalize(dtype=dtype)
 
 
+def spherical_pendulum(
+    num_links: int = 2,
+    masses=None,
+    link_length: float = 0.5,
+    dtype=jnp.float64,
+) -> MultiBodyModel:
+    """n-link chain of SPHERICAL joints (pendulum_spherical_joints.hpp
+    analog): each link hangs ``link_length`` below its parent joint with a
+    point mass at the rod end."""
+    if masses is None:
+        masses = [1.0] * num_links
+    b = MultiBodyBuilder(is_floating=False, name=f"spherical_pendulum{num_links}")
+    for i in range(num_links):
+        b.add_link(
+            JointType.SPHERICAL,
+            parent=i - 1,
+            x_t_pos=(0.0, 0.0, 0.0) if i == 0 else (0.0, 0.0, -link_length),
+            mass=masses[i],
+            com=np.array([0.0, 0.0, -link_length]),
+            inertia_about_com=np.diag([1e-6, 1e-6, 1e-6]),  # near-point mass
+            link_name=f"link{i}",
+        )
+    return b.finalize(dtype=dtype)
+
+
 def double_pendulum_qdd(q, qd, m1=1.0, m2=1.0, l1=0.5, l2=0.5, g=9.81):
     """Closed-form accelerations of the planar double pendulum (point
     masses), the analytic oracle of pendulum.hpp:58-??.
