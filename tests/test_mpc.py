@@ -1,0 +1,238 @@
+"""Whole-body MPC stack tests: gait scheduling, swing trajectory, convex MPC
+force quality, stance torque mapping."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tds_tpu.control.mpc.convex_mpc import (
+    MpcConfig,
+    calculate_a_mat,
+    calculate_b_mat,
+    compute_contact_forces,
+    condensed_qp_mats,
+    discretize,
+)
+from tds_tpu.control.mpc.gait import (
+    STANCE,
+    SWING,
+    GaitConfig,
+    VelocityFilterState,
+    gait_update,
+)
+from tds_tpu.control.mpc.swing_leg import (
+    gen_parabola,
+    swing_foot_trajectory,
+)
+
+LAIKAGO_FEET = jnp.asarray(
+    [
+        [0.21, -0.12, -0.42],
+        [0.21, 0.12, -0.42],
+        [-0.21, -0.12, -0.42],
+        [-0.21, 0.12, -0.42],
+    ]
+)
+
+
+class TestGait:
+    def test_trot_alternation(self):
+        cfg = GaitConfig.laikago_trotting()
+        contacts = jnp.ones(4, bool)
+        s0 = gait_update(cfg, 0.0, contacts)
+        # diagonal pairs in antiphase at t=0 per initial states
+        assert int(s0.desired_leg_state[0]) == SWING or int(
+            s0.desired_leg_state[0]
+        ) == STANCE
+        # over one full cycle each leg spends duty_factor fraction in stance
+        times = np.linspace(0, 0.5, 500, endpoint=False)
+        stance_frac = np.zeros(4)
+        for t in times:
+            s = gait_update(cfg, float(t), jnp.zeros(4, bool))
+            stance_frac += (np.asarray(s.desired_leg_state) == STANCE).astype(float)
+        stance_frac /= len(times)
+        np.testing.assert_allclose(stance_frac, 0.6, atol=0.02)
+        # legs 0 and 3 in phase; 0 and 1 in antiphase
+        s = gait_update(cfg, 0.123, jnp.zeros(4, bool))
+        assert int(s.desired_leg_state[0]) == int(s.desired_leg_state[3])
+        assert int(s.desired_leg_state[1]) == int(s.desired_leg_state[2])
+        assert int(s.desired_leg_state[0]) != int(s.desired_leg_state[1])
+
+    def test_early_contact_detection(self):
+        cfg = GaitConfig.laikago_trotting()
+        # find a time where leg 0 is mid-swing
+        for t in np.linspace(0, 0.5, 200):
+            s = gait_update(cfg, float(t), jnp.zeros(4, bool))
+            if int(s.desired_leg_state[0]) == SWING and s.normalized_phase[0] > 0.3:
+                s2 = gait_update(cfg, float(t), jnp.ones(4, bool))
+                from tds_tpu.control.mpc.gait import EARLY_CONTACT
+
+                assert int(s2.leg_state[0]) == EARLY_CONTACT
+                return
+        raise AssertionError("no mid-swing sample found")
+
+    def test_velocity_filter(self):
+        f = VelocityFilterState.create(window=4, dtype=jnp.float64)
+        vals = [jnp.asarray([1.0, 0, 0]), jnp.asarray([3.0, 0, 0])]
+        f, avg = f.update(vals[0])
+        np.testing.assert_allclose(avg, [1, 0, 0])
+        f, avg = f.update(vals[1])
+        np.testing.assert_allclose(avg, [2, 0, 0])
+
+
+class TestSwing:
+    def test_parabola_through_points(self):
+        np.testing.assert_allclose(float(gen_parabola(0.0, 1.0, 2.0, 0.5)), 1.0)
+        np.testing.assert_allclose(float(gen_parabola(0.5, 1.0, 2.0, 0.5)), 2.0)
+        np.testing.assert_allclose(float(gen_parabola(1.0, 1.0, 2.0, 0.5)), 0.5)
+
+    def test_swing_trajectory_endpoints_and_clearance(self):
+        start = jnp.asarray([0.1, 0.0, -0.4])
+        end = jnp.asarray([0.25, 0.05, -0.42])
+        p0 = swing_foot_trajectory(jnp.asarray(0.0), start, end)
+        p1 = swing_foot_trajectory(jnp.asarray(1.0), start, end)
+        np.testing.assert_allclose(p0, start, atol=1e-7)
+        np.testing.assert_allclose(p1, end, atol=1e-7)
+        pm = swing_foot_trajectory(jnp.asarray(0.45), start, end)
+        assert float(pm[2]) > max(float(start[2]), float(end[2]))  # clearance
+
+
+class TestConvexMpc:
+    def _config(self):
+        return MpcConfig(
+            mass=20.0,
+            inertia=jnp.diag(jnp.asarray([0.07335, 0.25068, 0.25447])),
+            planning_horizon=6,
+            timestep=0.025,
+            solver_iterations=60,
+            fz_min=2.0,
+            fz_max=200.0,
+        )
+
+    def test_dynamics_matrices(self):
+        cfg = self._config()
+        a = calculate_a_mat(jnp.zeros(3), jnp.float64)
+        # position integrates velocity; vz integrates -g state
+        np.testing.assert_allclose(a[3:6, 9:12], np.eye(3))
+        assert float(a[11, 12]) == 1.0
+        b = calculate_b_mat(1.0 / cfg.mass, jnp.eye(3) / 0.25, LAIKAGO_FEET)
+        np.testing.assert_allclose(
+            np.asarray(b[9:12, 0:3]), np.eye(3) / cfg.mass, atol=1e-12
+        )
+        a_exp, b_exp = discretize(a, b, cfg.timestep)
+        # exact check against scipy's matrix exponential
+        from scipy.linalg import expm
+
+        ab = np.zeros((13 + 12, 13 + 12))
+        ab[:13, :13] = np.asarray(a) * cfg.timestep
+        ab[:13, 13:] = np.asarray(b) * cfg.timestep
+        exact = expm(ab)
+        np.testing.assert_allclose(np.asarray(a_exp), exact[:13, :13], atol=1e-10)
+        np.testing.assert_allclose(np.asarray(b_exp), exact[:13, 13:], atol=1e-10)
+        a_qp, b_qp = condensed_qp_mats(a_exp, b_exp, 4)
+        assert a_qp.shape == (52, 13) and b_qp.shape == (52, 48)
+
+    def test_standing_forces_support_weight(self):
+        """Static stance at the desired state: forces must sum to ~mg upward,
+        distributed over the four legs with small tangential components.
+
+        Uses a vz-tracking weight (the reference's default weights zero it
+        out, which equilibrates below mg by design; closed-loop height
+        feedback compensates there)."""
+        cfg = self._config()._replace(
+            qp_weights=jnp.asarray(
+                [5, 5, 0.2, 0, 0, 10, 0, 0, 1, 1, 1, 1.0, 0.0]
+            ),
+            solver_iterations=100,
+        )
+        f = compute_contact_forces(
+            cfg,
+            com_position=jnp.asarray([0.0, 0.0, 0.42]),
+            com_velocity=jnp.zeros(3),
+            com_rpy=jnp.zeros(3),
+            com_angular_velocity=jnp.zeros(3),
+            foot_contact_states=jnp.ones(4),
+            foot_positions_body=LAIKAGO_FEET,
+            desired_com_position=jnp.asarray([0.0, 0.0, 0.42]),
+            desired_com_velocity=jnp.zeros(3),
+            desired_com_rpy=jnp.zeros(3),
+            desired_com_angular_velocity=jnp.zeros(3),
+        )
+        f = np.asarray(f)
+        total_fz = f[:, 2].sum()
+        np.testing.assert_allclose(total_fz, 20.0 * 9.81, rtol=0.05)
+        # roughly symmetric distribution, small tangential forces
+        assert np.all(f[:, 2] > 20)
+        assert np.abs(f[:, 0:2]).max() < 10.0
+
+    def test_swing_legs_get_zero_force(self):
+        cfg = self._config()._replace(
+            qp_weights=jnp.asarray(
+                [5, 5, 0.2, 0, 0, 10, 0, 0, 1, 1, 1, 1.0, 0.0]
+            ),
+            solver_iterations=100,
+        )
+        f = compute_contact_forces(
+            cfg,
+            com_position=jnp.asarray([0.0, 0.0, 0.42]),
+            com_velocity=jnp.zeros(3),
+            com_rpy=jnp.zeros(3),
+            com_angular_velocity=jnp.zeros(3),
+            foot_contact_states=jnp.asarray([1.0, 0.0, 0.0, 1.0]),  # trot pair
+            foot_positions_body=LAIKAGO_FEET,
+            desired_com_position=jnp.asarray([0.0, 0.0, 0.42]),
+            desired_com_velocity=jnp.zeros(3),
+            desired_com_rpy=jnp.zeros(3),
+            desired_com_angular_velocity=jnp.zeros(3),
+        )
+        f = np.asarray(f)
+        np.testing.assert_allclose(f[1], 0.0, atol=1e-6)
+        np.testing.assert_allclose(f[2], 0.0, atol=1e-6)
+        np.testing.assert_allclose(f[[0, 3], 2].sum(), 20.0 * 9.81, rtol=0.1)
+
+    def test_falling_increases_upward_force(self):
+        cfg = self._config()
+
+        def total_fz(vz):
+            f = compute_contact_forces(
+                cfg,
+                com_position=jnp.asarray([0.0, 0.0, 0.40]),
+                com_velocity=jnp.asarray([0.0, 0.0, vz]),
+                com_rpy=jnp.zeros(3),
+                com_angular_velocity=jnp.zeros(3),
+                foot_contact_states=jnp.ones(4),
+                foot_positions_body=LAIKAGO_FEET,
+                desired_com_position=jnp.asarray([0.0, 0.0, 0.42]),
+                desired_com_velocity=jnp.zeros(3),
+                desired_com_rpy=jnp.zeros(3),
+                desired_com_angular_velocity=jnp.zeros(3),
+            )
+            return float(jnp.sum(f[:, 2]))
+
+        assert total_fz(-0.5) > total_fz(0.0) > total_fz(0.5)
+
+
+def test_stance_torque_mapping():
+    """tau = J^T(-f): for a single vertical force on a pendulum tip the
+    generated torque matches r x f."""
+    from tds_tpu.control.mpc.stance_leg import stance_torques_from_forces
+    from tds_tpu.model.pendulum import compound_pendulum
+    from tds_tpu.dynamics.kinematics import forward_kinematics_q
+
+    model = compound_pendulum(2)
+    q = jnp.asarray([0.5, 0.3])
+    _, lxw, _ = forward_kinematics_q(model, q)
+    tip = lxw[1].apply_point(jnp.asarray([0.0, 0.0, -0.5]))
+    force = jnp.asarray([[0.0, 0.0, 10.0]])
+    tau = stance_torques_from_forces(model, q, [1], tip[None, :], force)
+    # independent check via jvp power balance: tau . qd == (-f) . v_tip
+    qd = jnp.asarray([0.7, -0.4])
+
+    def tip_pos(qv):
+        _, lxw, _ = forward_kinematics_q(model, qv)
+        return lxw[1].apply_point(jnp.asarray([0.0, 0.0, -0.5]))
+
+    v_tip = jax.jvp(tip_pos, (q,), (qd,))[1]
+    np.testing.assert_allclose(
+        float(jnp.dot(tau, qd)), float(jnp.dot(-force[0], v_tip)), rtol=1e-9
+    )
