@@ -130,5 +130,64 @@ int main(int argc, char** argv) {
     fclose(out);
     printf("wrote ant_dynamics.json\n");
   }
+  // ---- case 3: spherical-joint humanoid forward dynamics -----------------
+  {
+    tds::World<Algebra> world;
+    tds::NullLogger logger;
+    tds::UrdfStructures<Algebra> urdf;
+    int flags = 0;
+    std::string text =
+        read_file("/root/reference/data/humanoid_xyz_spherical.urdf");
+    tds::MultiBody<Algebra>* mb = nullptr;
+    if (!tds::UrdfParser<Algebra>::load_urdf_from_string(text, flags, logger,
+                                                         urdf)) {
+      printf("skipping humanoid case (parse failed)\n");
+      return 0;
+    }
+    mb = world.create_multi_body("humanoid");
+    tds::UrdfToMultiBody<Algebra>::convert_to_multi_body(urdf, world, *mb, 0);
+    mb->initialize();
+
+    int n = mb->dof();
+    int nd = mb->dof_qd();
+    FILE* out = fopen("tests/golden/humanoid_spherical_dynamics.json", "w");
+    fprintf(out, "{\"dof\": %d, \"dof_qd\": %d, \"cases\": [", n, nd);
+    unsigned long long s = 777;
+    auto rnd = [&s]() {
+      s = s * 6364136223846793005ULL + 1442695040888963407ULL;
+      return ((double)((s >> 33) & 0x7fffffff) / (double)0x40000000) - 1.0;
+    };
+    Vector3 gravity(0., 0., -9.81);
+    for (int c = 0; c < 4; ++c) {
+      // randomize joints; re-normalize every spherical quaternion
+      for (int i = 0; i < n; ++i) mb->q(i) = 0.3 * rnd();
+      for (const auto& link : *mb) {
+        if (link.joint_type == tds::JOINT_SPHERICAL) {
+          int qi = link.q_index;
+          double nq = 0;
+          for (int k = 0; k < 4; ++k) nq += mb->q(qi + k) * mb->q(qi + k);
+          nq = std::sqrt(nq);
+          if (nq < 1e-9) { mb->q(qi + 3) = 1.0; nq = 1.0; }
+          for (int k = 0; k < 4; ++k) mb->q(qi + k) /= nq;
+        }
+      }
+      for (int i = 0; i < nd; ++i) mb->qd(i) = 0.4 * rnd();
+      for (int i = 0; i < mb->dof_actuated(); ++i) mb->tau(i) = 0.5 * rnd();
+      VectorX q = mb->q(), qd = mb->qd(), tau = mb->tau();
+      tds::forward_dynamics(*mb, gravity);
+      fprintf(out, "%s{\"q\": ", c ? "," : "");
+      dump_vec(out, q);
+      fprintf(out, ", \"qd\": ");
+      dump_vec(out, qd);
+      fprintf(out, ", \"tau\": ");
+      dump_vec(out, tau);
+      fprintf(out, ", \"qdd\": ");
+      dump_vec(out, mb->qdd());
+      fprintf(out, "}");
+    }
+    fprintf(out, "]}\n");
+    fclose(out);
+    printf("wrote humanoid_spherical_dynamics.json\n");
+  }
   return 0;
 }
