@@ -32,53 +32,98 @@ def inv3(m):
     return adj * inv_det[..., None, None]
 
 
-def cholesky_unrolled(a):
+def symbolic_cholesky_fill(mask):
+    """Lower-triangular nonzero pattern of chol(A) for a boolean coupling
+    mask (computed in Python at trace time): nz(i,j) iff A(i,j) != 0 or
+    exists k < j with nz(i,k) and nz(j,k)."""
+    import numpy as np
+
+    mask = np.asarray(mask, bool)
+    n = mask.shape[0]
+    nz = np.tril(mask | np.eye(n, dtype=bool))
+    for j in range(n):
+        for i in range(j + 1, n):
+            if not nz[i, j]:
+                for k in range(j):
+                    if nz[i, k] and nz[j, k]:
+                        nz[i, j] = True
+                        break
+    return nz
+
+
+def cholesky_unrolled(a, pattern=None):
     """Lower Cholesky factor of SPD (..., n, n); loops unrolled over the
-    static n so the lowering is pure fused arithmetic over the batch."""
+    static n so the lowering is pure fused arithmetic over the batch.
+
+    ``pattern``: optional boolean lower-tri nonzero structure (from
+    :func:`symbolic_cholesky_fill`); structurally-zero entries and their
+    products are skipped at trace time (tree-topology mass matrices drop
+    ~half the work)."""
     n = a.shape[-1]
     # l[i][j] scalars with arbitrary batch shape
     l = [[None] * n for _ in range(n)]
+
+    def nz(i, j):
+        return pattern is None or bool(pattern[i, j])
+
     for j in range(n):
         s = a[..., j, j]
         for k in range(j):
-            s = s - l[j][k] * l[j][k]
+            if nz(j, k):
+                s = s - l[j][k] * l[j][k]
         l[j][j] = jnp.sqrt(s)
         inv_ljj = 1.0 / l[j][j]
         for i in range(j + 1, n):
+            if not nz(i, j):
+                continue
             s = a[..., i, j]
             for k in range(j):
-                s = s - l[i][k] * l[j][k]
+                if nz(i, k) and nz(j, k):
+                    s = s - l[i][k] * l[j][k]
             l[i][j] = s * inv_ljj
     zero = jnp.zeros_like(a[..., 0, 0])
     rows = [
-        jnp.stack([l[i][j] if j <= i else zero for j in range(n)], axis=-1)
+        jnp.stack(
+            [
+                l[i][j] if (j <= i and l[i][j] is not None) else zero
+                for j in range(n)
+            ],
+            axis=-1,
+        )
         for i in range(n)
     ]
     return jnp.stack(rows, axis=-2)
 
 
-def cho_solve_unrolled(l, b):
+def cho_solve_unrolled(l, b, pattern=None):
     """Solve A x = b given the lower Cholesky factor of A.
 
     ``b`` may be (..., n) or (..., n, k); loops unrolled over static n.
+    ``pattern`` skips structurally-zero L entries (must match the factor's).
     """
     n = l.shape[-1]
     vec = b.ndim == l.ndim - 1
     if vec:
         b = b[..., None]
+
+    def nz(i, j):
+        return pattern is None or bool(pattern[i, j])
+
     # forward substitution L y = b
     y = [None] * n
     for i in range(n):
         s = b[..., i, :]
         for k in range(i):
-            s = s - l[..., i, k, None] * y[k]
+            if nz(i, k):
+                s = s - l[..., i, k, None] * y[k]
         y[i] = s / l[..., i, i, None]
     # back substitution L^T x = y
     x = [None] * n
     for i in reversed(range(n)):
         s = y[i]
         for k in range(i + 1, n):
-            s = s - l[..., k, i, None] * x[k]
+            if nz(k, i):
+                s = s - l[..., k, i, None] * x[k]
         x[i] = s / l[..., i, i, None]
     out = jnp.stack(x, axis=-2)
     return out[..., 0] if vec else out

@@ -131,15 +131,27 @@ def resolve_collision(
         kin_b = fk_links(model_b, q_b, jnp.zeros_like(qd_b))
 
     # mass-matrix Cholesky factors (jnp.linalg.inv lowers to sequential LU
-    # loops on TPU; the unrolled factor/solve is pure fused arithmetic)
-    from tds_tpu.algebra.linalg import cho_solve_unrolled, cholesky_unrolled
+    # loops on TPU; the unrolled factor/solve is pure fused arithmetic).
+    # Factorization runs in REVERSED dof order (leaves first) so the tree
+    # coupling structure is fill-free; the symbolic pattern prunes
+    # structurally-zero products at trace time.
+    from tds_tpu.algebra.linalg import (
+        cho_solve_unrolled,
+        cholesky_unrolled,
+        symbolic_cholesky_fill,
+    )
 
-    chol_a = (
-        cholesky_unrolled(mass_matrix_from_kin(model_a, kin_a, q_a)) if n_a else None
-    )
-    chol_b = (
-        cholesky_unrolled(mass_matrix_from_kin(model_b, kin_b, q_b)) if n_b else None
-    )
+    def factor(model, kin, q):
+        patt = symbolic_cholesky_fill(model.dof_coupling_mask()[::-1, ::-1])
+        m = mass_matrix_from_kin(model, kin, q)[..., ::-1, ::-1]
+        return cholesky_unrolled(m, patt), patt
+
+    def tree_solve(chol_patt, rhs):
+        chol, patt = chol_patt
+        return cho_solve_unrolled(chol, rhs[..., ::-1, :], patt)[..., ::-1, :]
+
+    chol_a = factor(model_a, kin_a, q_a) if n_a else None
+    chol_b = factor(model_b, kin_b, q_b) if n_b else None
 
     bshape = q_a.shape[:-1] if n_a else q_b.shape[:-1]
 
@@ -199,10 +211,10 @@ def resolve_collision(
     a_mat = jnp.zeros(bshape + (n_rows, n_rows), dtype=dtype)
     minv_jt_a = minv_jt_b = None
     if n_a:
-        minv_jt_a = cho_solve_unrolled(chol_a, jnp.swapaxes(j_a, -1, -2))
+        minv_jt_a = tree_solve(chol_a, jnp.swapaxes(j_a, -1, -2))
         a_mat = a_mat + j_a @ minv_jt_a
     if n_b:
-        minv_jt_b = cho_solve_unrolled(chol_b, jnp.swapaxes(j_b, -1, -2))
+        minv_jt_b = tree_solve(chol_b, jnp.swapaxes(j_b, -1, -2))
         a_mat = a_mat + j_b @ minv_jt_b
     a_mat = a_mat + params.cfm * jnp.eye(n_rows, dtype=dtype)
 

@@ -114,6 +114,40 @@ class MultiBodyModel:
         off = self.qd_offsets[i] - (6 if self.is_floating else 0)
         return tau[..., off : off + w]
 
+    def dof_coupling_mask(self):
+        """Boolean (dof_qd, dof_qd) numpy mask: M[i, j] can be nonzero only
+        when the joints carrying dofs i and j lie on one root-to-leaf path
+        (CRBA structure). Static topology -> computed in Python; used for
+        sparsity-aware factorization."""
+        import numpy as np
+
+        n = self.dof_qd
+        mask = np.eye(n, dtype=bool)
+        base = 6 if self.is_floating else 0
+        if base:
+            mask[:base, :] = True
+            mask[:, :base] = True
+
+        def dofs_of(link):
+            jt = JointType(self.joint_types[link])
+            w = qd_width(jt)
+            off = self.qd_offsets[link]
+            return range(off, off + w) if w else range(0)
+
+        for i in range(self.num_links):
+            # couple i with itself and every ancestor
+            j = i
+            chain = []
+            while j >= 0:
+                chain.append(j)
+                j = self.parents[j]
+            for a in chain:
+                for di in dofs_of(i):
+                    for dj in dofs_of(a):
+                        mask[di, dj] = True
+                        mask[dj, di] = True
+        return mask
+
     # --- default state -------------------------------------------------
     def zero_q(self, dtype=None):
         dtype = dtype or self.x_t_pos.dtype

@@ -57,6 +57,39 @@ def test_inv_pd():
     )
 
 
+def test_tree_sparse_cholesky_matches_dense():
+    """Reversed-order sparse factorization over the dof coupling mask must
+    reproduce the dense solve exactly for tree mass matrices."""
+    import os
+
+    import pytest
+
+    from tds_tpu.algebra.linalg import symbolic_cholesky_fill
+    from tds_tpu.dynamics.mass_matrix import mass_matrix
+    from tds_tpu.urdf.cache import construct
+
+    if not os.path.isdir("/root/reference/data"):
+        pytest.skip("reference data not mounted")
+    rng = np.random.default_rng(0)
+    for name in ["gym/ant_org_xyz_xyzrot.urdf", "humanoid_xyz_spherical.urdf"]:
+        model, _ = construct(name)
+        q = model.zero_q() + jnp.asarray(rng.normal(size=model.dof_q) * 0.1)
+        m = mass_matrix(model, q)
+        n = model.dof_qd
+        # the coupling mask must cover every numerically-nonzero entry
+        mask = model.dof_coupling_mask()
+        assert np.all(np.abs(np.asarray(m))[~mask] < 1e-12), name
+        patt = symbolic_cholesky_fill(mask[::-1, ::-1])
+        m_rev = m[::-1, ::-1]
+        l = cholesky_unrolled(m_rev, patt)
+        b = jnp.asarray(rng.normal(size=(n, 4)))
+        x = cho_solve_unrolled(l, b[::-1, :], patt)[::-1, :]
+        x_dense = np.linalg.solve(np.asarray(m), np.asarray(b))
+        np.testing.assert_allclose(np.asarray(x), x_dense, rtol=1e-8, atol=1e-9)
+        # sparsity actually prunes something
+        assert patt.sum() < n * (n + 1) // 2, name
+
+
 def test_gradients_flow():
     a = _spd(6, seed=7)
     b = jnp.ones(6)
