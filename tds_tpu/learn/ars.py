@@ -80,12 +80,18 @@ def _rollout_with_stats(env, policy: MLPSpec, params, obs_stat, key, config):
 
     def step(carry, _):
         state, obs, total, alive, steps, s1, s2 = carry
-        s1 = s1 + obs
-        s2 = s2 + obs * obs
+        # a diverged simulation (NaN/Inf state) must not poison the update:
+        # gate the rollout as terminated and keep the statistics finite
+        finite = jnp.all(jnp.isfinite(obs)).astype(dtype)
+        obs_safe = jnp.where(jnp.isfinite(obs), obs, 0.0)
+        alive = alive * finite
+        s1 = s1 + obs_safe * alive
+        s2 = s2 + obs_safe * obs_safe * alive
         action = env.action_transform(
-            policy.apply(params, obs_stat.normalize(obs))
+            policy.apply(params, obs_stat.normalize(obs_safe))
         )
         state, obs, reward, done = env.step(state, action)
+        reward = jnp.nan_to_num(reward, nan=0.0, posinf=0.0, neginf=0.0)
         total = total + (reward - config.shift) * alive
         steps = steps + alive
         alive = alive * (1.0 - done.astype(dtype))
@@ -94,7 +100,7 @@ def _rollout_with_stats(env, policy: MLPSpec, params, obs_stat, key, config):
     (state, obs, total, alive, steps, s1, s2), _ = jax.lax.scan(
         step, init, None, length=config.rollout_length
     )
-    return total, steps, (s1, s2, jnp.asarray(config.rollout_length, dtype))
+    return total, steps, (s1, s2, steps)
 
 
 def make_train_step(
@@ -139,8 +145,9 @@ def make_train_step(
             s1 = jnp.sum(s1, axis=0)
             s2 = jnp.sum(s2, axis=0)
             total = jnp.sum(cnt)
-            mean = s1 / total
-            m2 = s2 - total * mean**2
+            safe = jnp.maximum(total, 1.0)
+            mean = s1 / safe
+            m2 = s2 - safe * mean**2
             return RunningStat(total.astype(state.obs_stat.count.dtype), mean, m2)
 
         obs_stat = state.obs_stat.merge(to_stat(stats_pos)).merge(

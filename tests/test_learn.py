@@ -50,6 +50,43 @@ def test_running_stat_merge_associative():
     np.testing.assert_allclose(s_ab.std, s_all.std, rtol=1e-9)
 
 
+def test_ars_survives_nan_envs():
+    """A rollout whose simulation diverges to NaN must not poison params."""
+    import jax.numpy as jnp
+
+    from tds_tpu.envs.base import Env, EnvState
+
+    class ExplodingEnv(Env):
+        observation_dim = 2
+        action_dim = 1
+
+        def reset(self, key):
+            state = EnvState(
+                q=jnp.zeros(2), qd=jnp.zeros(2), t=jnp.zeros((), jnp.int32),
+                key=key,
+            )
+            return state, jnp.zeros(2)
+
+        def step(self, state, action):
+            # blows up after 5 steps
+            q = jnp.where(state.t >= 5, jnp.full(2, jnp.nan), state.q + 0.1)
+            new = EnvState(q=q, qd=state.qd, t=state.t + 1, key=state.key)
+            reward = jnp.sum(q)
+            return new, q, reward, jnp.asarray(False)
+
+    env = ExplodingEnv()
+    policy = linear_policy(2, 1)
+    config = ARSConfig(num_directions=4, rollout_length=20, delta_std=0.1,
+                       step_size=0.1)
+    step_fn = make_train_step(env, policy, config)
+    state = init_ars(env, policy, jax.random.PRNGKey(0))
+    for _ in range(3):
+        state, metrics = step_fn(state)
+    assert np.all(np.isfinite(np.asarray(state.params)))
+    assert np.all(np.isfinite(np.asarray(state.obs_stat.mean)))
+    assert np.isfinite(float(metrics["reward_pos_mean"]))
+
+
 def test_ars_improves_cartpole():
     env = CartpoleEnv()
     policy = linear_policy(env.observation_dim, env.action_dim)
