@@ -90,20 +90,34 @@ class LocomotionEnv(Env):
         return jnp.concatenate([q, qd], axis=-1)
 
     # -- env API -----------------------------------------------------------
+    def _joint_q_offset(self):
+        """q index of the first PD-controlled joint (after the passive
+        base-emulation chain)."""
+        for i in range(self.skip_links, self.model.num_links):
+            off = self.model.q_offsets[i]
+            if off >= 0:
+                return off
+        return 7 if self.model.is_floating else 0
+
     def initial_state(self, key):
         model = self.model
         q = model.zero_q()
+        off = self._joint_q_offset()
         if model.is_floating:
             q = q.at[4:7].set(self.start_base_position.astype(q.dtype))
-            q = q.at[7 : 7 + self.action_dim].set(self.initial_poses.astype(q.dtype))
-            joints_off = 7
+            q = q.at[off : off + self.action_dim].set(
+                self.initial_poses.astype(q.dtype)
+            )
         else:
-            q = q.at[0:3].set(self.start_base_position.astype(q.dtype))
+            n_base = min(3, off)
+            q = q.at[0:n_base].set(
+                self.start_base_position[:n_base].astype(q.dtype)
+            )
             noise = jax.random.uniform(
                 key, (self.action_dim,), minval=-self.reset_noise,
                 maxval=self.reset_noise, dtype=q.dtype,
             )
-            q = q.at[6 : 6 + self.action_dim].set(
+            q = q.at[off : off + self.action_dim].set(
                 self.initial_poses.astype(q.dtype) + noise
             )
         qd = model.zero_qd()

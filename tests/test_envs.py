@@ -101,6 +101,22 @@ class TestLocomotion:
         # standing with PD to initial poses: should not fall in 0.2s
         assert not bool(dones[-1])
 
+    def test_hopper_and_cheetah_step(self):
+        from tds_tpu.envs.hopper import HalfCheetahEnv, HopperEnv
+
+        for cls, n_act in ((HopperEnv, 3), (HalfCheetahEnv, 6)):
+            env = cls(settle_steps=5)
+            assert env.action_dim == n_act
+            state, obs = env.reset(jax.random.PRNGKey(0))
+            assert np.all(np.isfinite(np.asarray(obs)))
+            for _ in range(30):
+                state, obs, reward, done = env.step(
+                    state, jnp.zeros(n_act, dtype=state.q.dtype)
+                )
+            assert np.all(np.isfinite(np.asarray(obs))), cls.__name__
+            # standing with PD: no immediate termination
+            assert not bool(done), cls.__name__
+
     def test_ant_steps(self):
         from tds_tpu.envs.ant import AntEnv
 
