@@ -130,6 +130,75 @@ int main(int argc, char** argv) {
     fclose(out);
     printf("wrote ant_dynamics.json\n");
   }
+  // ---- case 2b: sphere dropped on plane THROUGH the MLCP contact solver --
+  {
+    tds::World<Algebra> world;
+    tds::NullLogger logger;
+    int flags = 0;
+
+    // plane
+    tds::UrdfStructures<Algebra> plane_urdf;
+    std::string plane_text =
+        read_file("/root/reference/data/plane_implicit.urdf");
+    tds::UrdfParser<Algebra>::load_urdf_from_string(plane_text, flags, logger,
+                                                    plane_urdf);
+    tds::MultiBody<Algebra>* plane_mb = world.create_multi_body("plane");
+    tds::UrdfToMultiBody<Algebra>::convert_to_multi_body(plane_urdf, world,
+                                                         *plane_mb, 0);
+    plane_mb->initialize();
+
+    // floating sphere
+    const char* sphere_text = R"(<?xml version="1.0"?>
+<robot name="golden_sphere">
+  <link name="base">
+    <inertial><origin rpy="0 0 0" xyz="0 0 0"/><mass value="1.5"/>
+      <inertia ixx="0.024" ixy="0" ixz="0" iyy="0.024" iyz="0" izz="0.024"/></inertial>
+    <collision><geometry><sphere radius="0.2"/></geometry></collision>
+  </link>
+</robot>)";
+    tds::UrdfStructures<Algebra> ball_urdf;
+    tds::UrdfParser<Algebra>::load_urdf_from_string(sphere_text, flags, logger,
+                                                    ball_urdf);
+    tds::MultiBody<Algebra>* ball = world.create_multi_body("ball");
+    tds::UrdfToMultiBody<Algebra>::convert_to_multi_body(ball_urdf, world,
+                                                         *ball, 0);
+    ball->set_floating_base(true);
+    ball->initialize();
+
+    // drop with sideways velocity so friction rows activate
+    ball->q(4) = 0.0; ball->q(5) = 0.0; ball->q(6) = 0.35;
+    ball->qd(3) = 1.0; ball->qd(4) = -0.5; ball->qd(5) = 0.0;
+    ball->qd(0) = 0.3;
+
+    Vector3 gravity(0., 0., -9.81);
+    world.set_gravity(gravity);
+    double dt = 1e-3;
+
+    FILE* out = fopen("tests/golden/sphere_contact_trajectory.json", "w");
+    fprintf(out, "{\"dt\": %.17g, \"snapshots\": {", dt);
+    bool first = true;
+    for (int t = 0; t <= 500; ++t) {
+      if (t % 50 == 0) {
+        fprintf(out, "%s\"%d\": {\"q\": ", first ? "" : ",", t);
+        dump_vec(out, ball->q());
+        fprintf(out, ", \"qd\": ");
+        dump_vec(out, ball->qd());
+        fprintf(out, "}");
+        first = false;
+      }
+      if (t == 500) break;
+      // the env-loop ordering (locomotion_contact_simulation.h:259-271)
+      tds::forward_dynamics(*ball, gravity);
+      ball->clear_forces();
+      tds::integrate_euler_qdd(*ball, dt);
+      world.step(dt);
+      tds::integrate_euler(*ball, dt);
+    }
+    fprintf(out, "}}\n");
+    fclose(out);
+    printf("wrote sphere_contact_trajectory.json\n");
+  }
+
   // ---- case 3: spherical-joint humanoid forward dynamics -----------------
   {
     tds::World<Algebra> world;
