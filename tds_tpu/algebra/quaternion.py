@@ -131,8 +131,10 @@ def to_axis_angle(q):
     theta = 2*atan2(|qv|, qw); returns (theta/|qv|) * qv with a Taylor
     fallback near |qv|=0.
     """
+    from tds_tpu.algebra.spatial import safe_norm
+
     qv, qw = q[..., :3], q[..., 3]
-    n = jnp.linalg.norm(qv, axis=-1)
+    n = safe_norm(qv, axis=-1)  # plain norm backprops NaN at qv = 0
     theta = 2.0 * jnp.arctan2(n, qw)
     # (theta/n) qv, safe at n->0 where theta/n -> 2/qw
     scale = jnp.where(n > 1e-12, theta / jnp.where(n > 1e-12, n, 1.0), 2.0 / qw)
