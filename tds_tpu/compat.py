@@ -51,7 +51,13 @@ def Quaternion(x=0.0, y=0.0, z=0.0, w=1.0):
 quat_to_matrix = _quat.to_matrix
 matrix_to_quat = _quat.from_matrix
 quat_from_xyzw = Quaternion
-get_axis_difference_quaternion = None  # see control.pd.spherical_pd_error
+
+
+def get_axis_difference_quaternion(q_desired, q_actual):
+    """Orientation error rotation vector (matrix_utils.hpp:77-89 analog)."""
+    from tds_tpu.control.pd import spherical_pd_error
+
+    return spherical_pd_error(q_desired, q_actual)
 
 
 class TinyMultiBody:
