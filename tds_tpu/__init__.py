@@ -3,7 +3,7 @@
 A from-scratch JAX/XLA implementation of the capabilities of
 tiny-differentiable-simulator (Featherstone articulated-body dynamics,
 impulse-level LCP contact, penalty contact, URDF models, RL environments,
-ARS training), designed TPU-first:
+ARS/PPO training, convex MPC), designed TPU-first:
 
 - every physics function is pure: ``(model, state, inputs) -> state``
 - model topology (joint types, parents, index layout) is static Python so
@@ -14,11 +14,23 @@ ARS training), designed TPU-first:
   rematerialisation), replacing the reference's CppAD/CppADCodeGen stack
 
 Reference behavior parity targets are cited per-module as
-``/root/reference/<file>:<line>``.
+``/root/reference/<file>:<line>``; see COVERAGE.md for the component map.
 """
 
 from tds_tpu import algebra
+from tds_tpu.algebra.inertia import ArticulatedBodyInertia, RigidBodyInertia
 from tds_tpu.algebra.transform import Transform
-from tds_tpu.algebra.inertia import RigidBodyInertia, ArticulatedBodyInertia
+from tds_tpu.dynamics import (
+    forward_dynamics,
+    forward_kinematics,
+    integrate_euler,
+    integrate_euler_qdd,
+)
+from tds_tpu.dynamics.inverse_dynamics import inverse_dynamics
+from tds_tpu.dynamics.jacobian import point_jacobian
+from tds_tpu.dynamics.mass_matrix import mass_matrix
+from tds_tpu.model.joints import JointType
+from tds_tpu.model.multibody import MultiBodyBuilder, MultiBodyModel, MultiBodyState
+from tds_tpu.world import World, build_world, make_ground_plane, world_step
 
 __version__ = "0.1.0"

@@ -23,7 +23,6 @@ from tds_tpu.contact.mlcp import ContactBatch, ContactSolverParams, resolve_coll
 from tds_tpu.contact.spring import SpringContactParams, resolve_collision_spring
 from tds_tpu.dynamics.forward_dynamics import forward_dynamics
 from tds_tpu.dynamics.integrator import integrate_euler_qdd, integrate_q
-from tds_tpu.dynamics.kinematics import forward_kinematics_q
 from tds_tpu.model.geometry import GeomAttachment, Plane
 from tds_tpu.model.joints import JointType
 from tds_tpu.model.multibody import MultiBodyBuilder, MultiBodyModel
