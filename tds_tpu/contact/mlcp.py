@@ -39,6 +39,11 @@ class ContactSolverParams(NamedTuple):
     num_friction_dir: int = 2
     friction: float = 0.5  # world default (world.hpp:68)
     restitution: float = 0.0
+    # How M^-1 J^T is computed: "aba" = O(n) Featherstone propagation from
+    # ABA byproducts (replaces the reference's dense CRBA + inverse,
+    # mb_constraint_solver.hpp:210-262); "crba" = explicit mass matrix +
+    # tree-sparse Cholesky (kept for cross-validation).
+    minv_method: str = "aba"
 
 
 def plane_space(n):
@@ -107,12 +112,16 @@ def resolve_collision(
     params: ContactSolverParams = ContactSolverParams(),
     kin_a=None,
     kin_b=None,
+    factor_a=None,
+    factor_b=None,
 ):
     """Returns (qd_a', qd_b', impulses) after resolving the contact batch.
 
     Either body may have zero DoF (e.g. a static ground plane).
     ``kin_a``/``kin_b``: optional precomputed :class:`KinLinks` so the FK
-    pass is shared with ABA within a step.
+    pass is shared with ABA within a step. ``factor_a``/``factor_b``:
+    optional precomputed :class:`AbaFactor` (shared with the dynamics ABA)
+    used by the O(n) M^-1 J^T path.
     """
     n_a, n_b = model_a.dof_qd, model_b.dof_qd
     n_c = batch.contact.count
@@ -130,28 +139,52 @@ def resolve_collision(
     if kin_b is None and n_b:
         kin_b = fk_links(model_b, q_b, jnp.zeros_like(qd_b))
 
-    # mass-matrix Cholesky factors (jnp.linalg.inv lowers to sequential LU
-    # loops on TPU; the unrolled factor/solve is pure fused arithmetic).
-    # Factorization runs in REVERSED dof order (leaves first) so the tree
-    # coupling structure is fill-free; the symbolic pattern prunes
-    # structurally-zero products at trace time.
-    from tds_tpu.algebra.linalg import (
-        cho_solve_unrolled,
-        cholesky_unrolled,
-        symbolic_cholesky_fill,
-    )
+    # M^-1 J^T: either the O(n) ABA-byproduct propagation (default; factor
+    # shared with the dynamics ABA of the same step), or explicit CRBA +
+    # tree-sparse unrolled Cholesky. Both avoid jnp.linalg (which lowers to
+    # sequential LU while-loops on TPU).
+    if params.minv_method == "aba":
+        from tds_tpu.dynamics.forward_dynamics import aba_factor, minv_mul
 
-    def factor(model, kin, q):
-        patt = symbolic_cholesky_fill(model.dof_coupling_mask()[::-1, ::-1])
-        m = mass_matrix_from_kin(model, kin, q)[..., ::-1, ::-1]
-        return cholesky_unrolled(m, patt), patt
+        if factor_a is None and n_a:
+            factor_a = aba_factor(model_a, kin_a)
+        if factor_b is None and n_b:
+            factor_b = aba_factor(model_b, kin_b)
 
-    def tree_solve(chol_patt, rhs):
-        chol, patt = chol_patt
-        return cho_solve_unrolled(chol, rhs[..., ::-1, :], patt)[..., ::-1, :]
+        def make_solver(model, kin, fac):
+            def minv_rows(rows):  # (…, R, n) -> (…, R, n) = J M^-1
+                return jnp.moveaxis(
+                    minv_mul(model, kin, fac, jnp.moveaxis(rows, -2, 0)), 0, -2
+                )
 
-    chol_a = factor(model_a, kin_a, q_a) if n_a else None
-    chol_b = factor(model_b, kin_b, q_b) if n_b else None
+            return minv_rows
+
+        solve_a = make_solver(model_a, kin_a, factor_a) if n_a else None
+        solve_b = make_solver(model_b, kin_b, factor_b) if n_b else None
+    else:
+        from tds_tpu.algebra.linalg import (
+            cho_solve_unrolled,
+            cholesky_unrolled,
+            symbolic_cholesky_fill,
+        )
+
+        # Factorization runs in REVERSED dof order (leaves first) so the
+        # tree coupling structure is fill-free; the symbolic pattern prunes
+        # structurally-zero products at trace time.
+        def make_solver(model, kin, q):
+            patt = symbolic_cholesky_fill(model.dof_coupling_mask()[::-1, ::-1])
+            m = mass_matrix_from_kin(model, kin, q)[..., ::-1, ::-1]
+            chol = cholesky_unrolled(m, patt)
+
+            def minv_rows(rows):  # (…, R, n) -> (…, R, n)
+                rhs = jnp.swapaxes(rows, -1, -2)[..., ::-1, :]
+                out = cho_solve_unrolled(chol, rhs, patt)[..., ::-1, :]
+                return jnp.swapaxes(out, -1, -2)
+
+            return minv_rows
+
+        solve_a = make_solver(model_a, kin_a, q_a) if n_a else None
+        solve_b = make_solver(model_b, kin_b, q_b) if n_b else None
 
     bshape = q_a.shape[:-1] if n_a else q_b.shape[:-1]
 
@@ -209,13 +242,13 @@ def resolve_collision(
     rhs = jnp.stack(sum(rhs_blocks, []), axis=-1)  # (…, n_rows)
 
     a_mat = jnp.zeros(bshape + (n_rows, n_rows), dtype=dtype)
-    minv_jt_a = minv_jt_b = None
+    jminv_a = jminv_b = None  # (…, n_rows, n) rows of J M^-1
     if n_a:
-        minv_jt_a = tree_solve(chol_a, jnp.swapaxes(j_a, -1, -2))
-        a_mat = a_mat + j_a @ minv_jt_a
+        jminv_a = solve_a(j_a)
+        a_mat = a_mat + jnp.einsum("...rn,...sn->...rs", j_a, jminv_a)
     if n_b:
-        minv_jt_b = tree_solve(chol_b, jnp.swapaxes(j_b, -1, -2))
-        a_mat = a_mat + j_b @ minv_jt_b
+        jminv_b = solve_b(j_b)
+        a_mat = a_mat + jnp.einsum("...rn,...sn->...rs", j_b, jminv_b)
     a_mat = a_mat + params.cfm * jnp.eye(n_rows, dtype=dtype)
 
     big = 1e5
@@ -238,7 +271,7 @@ def resolve_collision(
     p = solve_pgs(a_mat, rhs, lo, hi, limit_dependency, x0, params.pgs_iterations)
 
     if n_a:
-        qd_a = qd_a + jnp.einsum("...mr,...r->...m", minv_jt_a, p)
+        qd_a = qd_a + jnp.einsum("...rm,...r->...m", jminv_a, p)
     if n_b:
-        qd_b = qd_b - jnp.einsum("...mr,...r->...m", minv_jt_b, p)
+        qd_b = qd_b - jnp.einsum("...rm,...r->...m", jminv_b, p)
     return qd_a, qd_b, p

@@ -10,7 +10,18 @@ loops are unrolled at trace time; joint-type dispatch is static.
 Gravity enters as a fictitious base acceleration -g (the standard
 Featherstone trick; forward_dynamics.hpp:36-37, :242) and is added back to
 the floating-base qdd at the end (:318).
+
+The backward sweep is split into a velocity-independent *articulated factor*
+(:class:`AbaFactor`: per-link U, D^-1, updated ABIs, inverted base ABI) and a
+bias sweep. The factor doubles as an O(n) factorization of the joint-space
+mass matrix: :func:`minv_mul` applies M(q)^-1 to arbitrary generalized-force
+vectors (multi-RHS) by running the zero-bias ABA sweeps — this replaces the
+reference contact solver's dense CRBA + matrix inverse
+(src/mb_constraint_solver.hpp:210-262) with Featherstone's
+operational-space-inertia propagation.
 """
+
+from typing import NamedTuple, Optional, Tuple
 
 import jax.numpy as jnp
 
@@ -19,6 +30,80 @@ from tds_tpu.algebra.inertia import ArticulatedBodyInertia
 from tds_tpu.dynamics.kinematics import fk_links
 from tds_tpu.model.joints import JointType
 from tds_tpu.model.multibody import MultiBodyModel
+
+
+class AbaFactor(NamedTuple):
+    """Velocity-independent ABA byproducts (an implicit factorization of M).
+
+    Per-link tuples indexed like ``model`` links:
+    - ``u``: U = I^A S, shape (…, 6) or (…, 6, 3) for spherical joints
+    - ``d_inv``: 1/D scalar, or inv(S^T U) (…, 3, 3) for spherical
+    - ``ia``: post-update articulated inertia I^a = I^A - U D^-1 U^T
+    - ``base_abi``: accumulated base ABI (floating models), else None
+    - ``base_abi_inv``: its explicit block inverse, else None
+    """
+
+    u: Tuple
+    d_inv: Tuple
+    ia: Tuple
+    base_abi: Optional[ArticulatedBodyInertia]
+    base_abi_inv: Optional[ArticulatedBodyInertia]
+
+
+def aba_factor(model: MultiBodyModel, kin) -> AbaFactor:
+    """Backward ABI sweep (forward_dynamics.hpp:50-216, inertia terms only).
+
+    Depends on q (through ``kin`` transforms) but not on velocities, forces
+    or torques, so one factor per step serves ABA, the contact solver's
+    M^-1 J^T, and delassus assembly.
+    """
+    nl = model.num_links
+    abi = list(kin.abi)
+    base_abi = kin.base_abi
+    u_terms = [None] * nl
+    d_inv = [None] * nl
+    ia_list = [None] * nl
+
+    for i in reversed(range(nl)):
+        jt = JointType(model.joint_types[i])
+        parent = model.parents[i]
+        s = model.motion_subspace(i)
+
+        if jt == JointType.SPHERICAL:
+            u3 = abi[i].mul_matrix63(s)  # (…,6,3)
+            d3 = jnp.swapaxes(s, -1, -2) @ u3  # (…,3,3); S^T is static
+            from tds_tpu.algebra.linalg import inv3
+
+            invd3 = inv3(d3)
+            u_dinv_ut = ArticulatedBodyInertia.outer_63(u3, u3 @ invd3)
+            u_terms[i], d_inv[i] = u3, invd3
+        elif jt == JointType.FIXED:
+            u = abi[i].mul_motion(s)
+            invd = jnp.zeros_like(spatial.dot(s, u))
+            u_dinv_ut = ArticulatedBodyInertia.outer_ff(u, u * invd[..., None])
+            u_terms[i], d_inv[i] = u, invd
+        else:
+            u = abi[i].mul_motion(s)
+            invd = 1.0 / spatial.dot(s, u)
+            u_dinv_ut = ArticulatedBodyInertia.outer_ff(u, u * invd[..., None])
+            u_terms[i], d_inv[i] = u, invd
+
+        ia = abi[i] - u_dinv_ut
+        ia_list[i] = ia
+        delta_i = kin.x_parent[i].abi_to_parent(ia)
+        if parent >= 0:
+            abi[parent] = abi[parent] + delta_i
+        elif model.is_floating:
+            base_abi = base_abi + delta_i
+
+    base_abi_inv = base_abi.inverse() if model.is_floating else None
+    return AbaFactor(
+        u=tuple(u_terms),
+        d_inv=tuple(d_inv),
+        ia=tuple(ia_list),
+        base_abi=base_abi,
+        base_abi_inv=base_abi_inv,
+    )
 
 
 def forward_dynamics(
@@ -43,33 +128,32 @@ def forward_dynamics(
     return forward_dynamics_from_kin(model, kin, q, qd, tau, gravity)
 
 
-def forward_dynamics_from_kin(model: MultiBodyModel, kin, q, qd, tau, gravity):
-    """ABA sweeps over a precomputed forward-kinematics pass (one FK can be
-    shared between ABA, CRBA and contact Jacobians within a step)."""
+def forward_dynamics_from_kin(
+    model: MultiBodyModel, kin, q, qd, tau, gravity, factor: Optional[AbaFactor] = None
+):
+    """ABA sweeps over a precomputed forward-kinematics pass (one FK and one
+    :func:`aba_factor` can be shared between ABA and the contact solver
+    within a step)."""
     nl = model.num_links
     dtype = q.dtype
     gravity = jnp.asarray(gravity, dtype=dtype)
     spatial_gravity = spatial.mv(jnp.zeros_like(gravity), gravity)
 
+    if factor is None:
+        factor = aba_factor(model, kin)
+
     p_a = list(kin.pA)
-    abi = list(kin.abi)
-    base_abi = kin.base_abi
     base_bias = kin.base_bias_force
 
-    # per-link solver temporaries for the forward sweep
-    u_terms = [None] * nl  # U (6,) or U_3d (6,3)
-    d_inv = [None] * nl  # 1/D or inv(D_3d)
     u_bias = [None] * nl  # u or u_3d
 
-    # ---- backward sweep (forward_dynamics.hpp:50-216) ----------------------
+    # ---- backward bias sweep (forward_dynamics.hpp:50-216) -----------------
     for i in reversed(range(nl)):
         jt = JointType(model.joint_types[i])
         parent = model.parents[i]
         s = model.motion_subspace(i)
 
         if jt == JointType.SPHERICAL:
-            u3 = abi[i].mul_matrix63(s)  # (…,6,3)
-            d3 = jnp.swapaxes(s, -1, -2) @ u3  # (…,3,3); S^T is static
             tau_l = model.tau_for_link(tau, i)
             q_l = model.q_for_link(q, i)
             axis_angle = quaternion.to_axis_angle(q_l)
@@ -77,42 +161,30 @@ def forward_dynamics_from_kin(model: MultiBodyModel, kin, q, qd, tau, gravity):
             tau_l = tau_l - model.damping[i] * model.qd_for_link(qd, i)
             # u = tau - S^T pA ; S top is identity so S^T pA = pA.top
             u3b = tau_l - jnp.einsum("...ji,...j->...i", s, p_a[i])
-            from tds_tpu.algebra.linalg import inv3
-
-            invd3 = inv3(d3)
-            u_dinv_ut = ArticulatedBodyInertia.outer_63(u3, u3 @ invd3)
-            uud = _mat63_vec(u3, jnp.einsum("...ij,...j->...i", invd3, u3b))
-            u_terms[i], d_inv[i], u_bias[i] = u3, invd3, u3b
+            uud = _mat63_vec(
+                factor.u[i],
+                jnp.einsum("...ij,...j->...i", factor.d_inv[i], u3b),
+            )
+            u_bias[i] = u3b
         else:
-            u = abi[i].mul_motion(s)
-            d = spatial.dot(s, u)
             tau_l = model.tau_for_link(tau, i)[..., 0]
             q_l = model.q_for_link(q, i)[..., 0]
             qd_l = model.qd_for_link(qd, i)[..., 0]
             tau_l = tau_l - model.stiffness[i] * q_l - model.damping[i] * qd_l
             u_b = tau_l - spatial.dot(s, p_a[i])
-            if jt == JointType.FIXED:
-                invd = jnp.zeros_like(d)
-            else:
-                invd = 1.0 / d
-            u_dinv_ut = ArticulatedBodyInertia.outer_ff(u, u * invd[..., None])
-            uud = u * (u_b * invd)[..., None]
-            u_terms[i], d_inv[i], u_bias[i] = u, invd, u_b
+            uud = factor.u[i] * (u_b * factor.d_inv[i])[..., None]
+            u_bias[i] = u_b
 
-        ia = abi[i] - u_dinv_ut
-        pa = p_a[i] + ia.mul_motion(kin.c[i]) + uud
+        pa = p_a[i] + factor.ia[i].mul_motion(kin.c[i]) + uud
         delta_pa = kin.x_parent[i].force_to_parent(pa)
-        delta_i = kin.x_parent[i].abi_to_parent(ia)
         if parent >= 0:
             p_a[parent] = p_a[parent] + delta_pa
-            abi[parent] = abi[parent] + delta_i
         elif model.is_floating:
             base_bias = base_bias + delta_pa
-            base_abi = base_abi + delta_i
 
     # ---- base acceleration (forward_dynamics.hpp:218-243) ------------------
     if model.is_floating:
-        base_acc = -base_abi.inv_mul(base_bias)
+        base_acc = -_abi_apply(factor.base_abi_inv, base_bias)
     else:
         base_acc = -spatial_gravity
 
@@ -127,17 +199,17 @@ def forward_dynamics_from_kin(model: MultiBodyModel, kin, q, qd, tau, gravity):
         ai = kin.x_parent[i].motion_to_child(a_parent) + kin.c[i]
         if jt == JointType.SPHERICAL:
             s = model.motion_subspace(i)
-            ut_a = jnp.einsum("...ji,...j->...i", u_terms[i], ai)
+            ut_a = jnp.einsum("...ji,...j->...i", factor.u[i], ai)
             qdd_val = jnp.einsum(
-                "...ij,...j->...i", d_inv[i], u_bias[i] - ut_a
+                "...ij,...j->...i", factor.d_inv[i], u_bias[i] - ut_a
             )
             off = model.qd_offsets[i]
             qdd = qdd.at[..., off : off + 3].set(qdd_val)
             ai = ai + _mat63_vec(s, qdd_val)
         elif jt != JointType.FIXED:
             s = model.motion_subspace(i)
-            ut_a = spatial.dot(u_terms[i], ai)
-            qdd_val = d_inv[i] * (u_bias[i] - ut_a)
+            ut_a = spatial.dot(factor.u[i], ai)
+            qdd_val = factor.d_inv[i] * (u_bias[i] - ut_a)
             qdd = qdd.at[..., model.qd_offsets[i]].set(qdd_val)
             ai = ai + s * qdd_val[..., None]
         a[i] = ai
@@ -145,6 +217,105 @@ def forward_dynamics_from_kin(model: MultiBodyModel, kin, q, qd, tau, gravity):
     if model.is_floating:
         qdd = qdd.at[..., 0:6].set(base_acc + spatial_gravity)
     return qdd
+
+
+def minv_mul(model: MultiBodyModel, kin, factor: AbaFactor, x):
+    """Apply the inverse joint-space mass matrix: returns M(q)^-1 x, O(n).
+
+    ``x`` has shape (*extra, *batch, dof_qd) where ``batch`` is the batch
+    shape of the model state used to build ``kin``/``factor`` — extra
+    leading axes (e.g. a multi-RHS axis) broadcast for free. Runs the ABA
+    sweeps with zero velocities/bias and generalized force x (Featherstone's
+    identity qdd = M^-1 tau at qd = 0, no gravity). Replaces dense
+    CRBA+inverse of the reference contact solver
+    (src/mb_constraint_solver.hpp:210-262); agreement with the explicit
+    factorization is validated in tests/test_minv.py.
+    """
+    nl = model.num_links
+    batch = x.shape[:-1]
+    dtype = x.dtype
+    zero6 = jnp.zeros(batch + (6,), dtype=dtype)
+
+    p_a = [zero6] * nl
+    base_p = None
+    u_bias = [None] * nl
+
+    # backward sweep: propagate test forces, zero bias
+    for i in reversed(range(nl)):
+        jt = JointType(model.joint_types[i])
+        parent = model.parents[i]
+        s = model.motion_subspace(i)
+        off = model.qd_offsets[i]
+
+        if jt == JointType.SPHERICAL:
+            x_l = x[..., off : off + 3]
+            u3b = x_l - jnp.einsum("...ji,...j->...i", s, p_a[i])
+            uud = _mat63_vec(
+                factor.u[i],
+                jnp.einsum("...ij,...j->...i", factor.d_inv[i], u3b),
+            )
+            u_bias[i] = u3b
+        elif jt == JointType.FIXED:
+            uud = 0.0
+        else:
+            x_l = x[..., off]
+            u_b = x_l - spatial.dot(s, p_a[i])
+            uud = factor.u[i] * (u_b * factor.d_inv[i])[..., None]
+            u_bias[i] = u_b
+
+        pa = p_a[i] + uud
+        delta_pa = kin.x_parent[i].force_to_parent(pa)
+        if parent >= 0:
+            p_a[parent] = p_a[parent] + delta_pa
+        else:
+            base_p = delta_pa if base_p is None else base_p + delta_pa
+
+    out = jnp.zeros_like(x)
+    if model.is_floating:
+        f0 = x[..., 0:6]
+        if base_p is not None:
+            f0 = f0 - base_p
+        base_acc = _abi_apply(factor.base_abi_inv, f0)
+        out = out.at[..., 0:6].set(base_acc)
+    else:
+        base_acc = zero6
+
+    # forward sweep
+    a = [None] * nl
+    for i in range(nl):
+        jt = JointType(model.joint_types[i])
+        parent = model.parents[i]
+        a_parent = a[parent] if parent >= 0 else base_acc
+        ai = kin.x_parent[i].motion_to_child(a_parent)
+        if jt == JointType.SPHERICAL:
+            s = model.motion_subspace(i)
+            ut_a = jnp.einsum("...ji,...j->...i", factor.u[i], ai)
+            qdd_val = jnp.einsum(
+                "...ij,...j->...i", factor.d_inv[i], u_bias[i] - ut_a
+            )
+            off = model.qd_offsets[i]
+            out = out.at[..., off : off + 3].set(qdd_val)
+            ai = ai + _mat63_vec(s, qdd_val)
+        elif jt != JointType.FIXED:
+            s = model.motion_subspace(i)
+            ut_a = spatial.dot(factor.u[i], ai)
+            qdd_val = factor.d_inv[i] * (u_bias[i] - ut_a)
+            out = out.at[..., model.qd_offsets[i]].set(qdd_val)
+            ai = ai + s * qdd_val[..., None]
+        a[i] = ai
+    return out
+
+
+def _abi_apply(abi: ArticulatedBodyInertia, f):
+    """[[I, H], [H^T, M]] @ [n; f] for precomputed (inverse) ABI blocks."""
+    n, lin = f[..., :3], f[..., 3:]
+    topv = jnp.einsum("...ij,...j->...i", abi.I, n) + jnp.einsum(
+        "...ij,...j->...i", abi.H, lin
+    )
+    botv = jnp.einsum("...ij,...j->...i", abi.M, lin) + jnp.einsum(
+        "...ji,...j->...i", abi.H, n
+    )
+    return spatial.mv(topv, botv)
 
 
 def _mat63_vec(m, v):

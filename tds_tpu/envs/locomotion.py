@@ -16,7 +16,7 @@ import jax.numpy as jnp
 
 from tds_tpu.contact.mlcp import ContactSolverParams
 from tds_tpu.control.pd import pd_tau
-from tds_tpu.dynamics.forward_dynamics import forward_dynamics_from_kin
+from tds_tpu.dynamics.forward_dynamics import aba_factor, forward_dynamics_from_kin
 from tds_tpu.dynamics.integrator import integrate_euler_qdd, integrate_q
 from tds_tpu.dynamics.kinematics import fk_links
 from tds_tpu.envs.base import Env, EnvState
@@ -74,13 +74,18 @@ class LocomotionEnv(Env):
             self.model, q, qd, targets, self.kp, self.kd, self.max_force,
             skip_links=self.skip_links,
         )
-        # one FK pass shared by ABA, CRBA and the contact Jacobians
+        # one FK pass and one articulated factor shared by ABA and the
+        # contact solver's O(n) M^-1 J^T propagation
         kin = fk_links(self.model, q, qd)
-        qdd = forward_dynamics_from_kin(self.model, kin, q, qd, tau, self.gravity)
+        factor = aba_factor(self.model, kin)
+        qdd = forward_dynamics_from_kin(
+            self.model, kin, q, qd, tau, self.gravity, factor=factor
+        )
         qd = integrate_euler_qdd(self.model, q, qd, qdd, self.dt)
         zero = jnp.zeros(q.shape[:-1] + (0,), dtype=q.dtype)
         qds = resolve_contacts(
-            self.world, (zero, q), (zero, qd), self.dt, kins=[None, kin]
+            self.world, (zero, q), (zero, qd), self.dt,
+            kins=[None, kin], factors=[None, factor],
         )
         qd = qds[1]
         q, qd = integrate_q(self.model, q, qd, self.dt)

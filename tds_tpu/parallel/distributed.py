@@ -33,6 +33,7 @@ def initialize_distributed(
         return  # already initialized
     kwargs = {}
     addr = coordinator_address or os.environ.get("JAX_COORDINATOR_ADDRESS")
+    explicit = addr is not None
     if addr:
         kwargs["coordinator_address"] = addr
         kwargs["num_processes"] = int(
@@ -43,9 +44,21 @@ def initialize_distributed(
         )
     try:
         jax.distributed.initialize(**kwargs)
-    except (ValueError, RuntimeError):
-        # single-process environment (e.g. one chip / CPU tests): fine
-        pass
+    except (ValueError, RuntimeError) as e:
+        if explicit:
+            # The caller configured a multi-process cluster; silently
+            # degrading to 1 process would run the job on 1/Nth the devices.
+            raise RuntimeError(
+                f"jax.distributed.initialize failed with explicit coordinator "
+                f"config {kwargs}: {e}"
+            ) from e
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "jax.distributed.initialize failed (%s); continuing "
+            "single-process. Set JAX_COORDINATOR_ADDRESS to make this fatal.",
+            e,
+        )
 
 
 def global_mesh(axis_name: str = "data") -> Mesh:

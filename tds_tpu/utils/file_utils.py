@@ -21,9 +21,13 @@ def data_search_paths() -> List[str]:
     paths.extend(_SEARCH_PATHS)
     paths.append(_PACKAGE_DATA)
     paths.append(os.path.join(os.getcwd(), "data"))
-    ref = "/root/reference/data"
-    if os.path.isdir(ref):
-        paths.append(ref)
+    # Last-resort fallback to a mounted reference checkout (CI containers).
+    # TDS_TPU_NO_REFERENCE_DATA=1 disables it, proving the bundled assets
+    # suffice on their own.
+    if not os.environ.get("TDS_TPU_NO_REFERENCE_DATA"):
+        ref = "/root/reference/data"
+        if os.path.isdir(ref):
+            paths.append(ref)
     return paths
 
 

@@ -120,12 +120,13 @@ def gather_pair_contacts(
     )
 
 
-def resolve_contacts(world: World, qs, qds, dt, kins=None):
+def resolve_contacts(world: World, qs, qds, dt, kins=None, factors=None):
     """One contact-resolution pass over all body pairs; returns new qds.
 
     qs/qds are tuples (one entry per body; zero-DoF bodies hold shape-(0,)
     arrays). ``kins``: optional per-body precomputed :class:`KinLinks` (e.g.
-    shared with the ABA pass of the same step).
+    shared with the ABA pass of the same step); ``factors``: optional
+    per-body :class:`AbaFactor` for the O(n) M^-1 J^T path.
     """
     from tds_tpu.dynamics.kinematics import fk_links
 
@@ -165,6 +166,8 @@ def resolve_contacts(world: World, qs, qds, dt, kins=None):
                     world.bodies[j], qs[j], qds[j],
                     batch, dt, world.solver,
                     kin_a=kin_list[i], kin_b=kin_list[j],
+                    factor_a=factors[i] if factors is not None else None,
+                    factor_b=factors[j] if factors is not None else None,
                 )
             qds[i], qds[j] = qd_a, qd_b
     return tuple(qds)
@@ -174,23 +177,36 @@ def world_step(world: World, qs, qds, taus, gravity, dt, f_exts=None):
     """Full step for all bodies: ABA -> velocity update -> contact impulses
     -> position update (the env-loop ordering,
     locomotion_contact_simulation.h:259-271). Returns (qs, qds)."""
-    new_qs, new_qds = [], []
+    from tds_tpu.dynamics.forward_dynamics import aba_factor, forward_dynamics_from_kin
+    from tds_tpu.dynamics.kinematics import fk_links
+
+    new_qs, new_qds, kins, factors = [], [], [], []
     for i, model in enumerate(world.bodies):
         if model.dof_qd == 0:
             new_qs.append(qs[i])
             new_qds.append(qds[i])
+            kins.append(None)
+            factors.append(None)
             continue
-        qdd = forward_dynamics(
-            model,
-            qs[i],
-            qds[i],
-            taus[i] if taus is not None else None,
-            gravity,
+        kin = fk_links(
+            model, qs[i], qds[i],
             f_ext=f_exts[i] if f_exts is not None else None,
+        )
+        factor = aba_factor(model, kin)
+        qdd = forward_dynamics_from_kin(
+            model, kin, qs[i], qds[i],
+            taus[i] if taus is not None else None,
+            gravity, factor=factor,
         )
         new_qds.append(integrate_euler_qdd(model, qs[i], qds[i], qdd, dt))
         new_qs.append(qs[i])
-    new_qds = list(resolve_contacts(world, tuple(new_qs), tuple(new_qds), dt))
+        kins.append(kin)
+        factors.append(factor)
+    new_qds = list(
+        resolve_contacts(
+            world, tuple(new_qs), tuple(new_qds), dt, kins=kins, factors=factors
+        )
+    )
     out_qs, out_qds = [], []
     for i, model in enumerate(world.bodies):
         if model.dof_qd == 0:

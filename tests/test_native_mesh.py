@@ -74,9 +74,12 @@ def test_marching_tets_sphere(lib):
 def test_laikago_mesh_loads(lib):
     import os
 
-    path = "/root/reference/data/laikago/chassis_zup.obj"
-    if not os.path.exists(path):
-        pytest.skip("reference data not mounted")
+    from tds_tpu.utils.file_utils import find_file
+
+    try:
+        path = find_file("laikago/chassis_zup.obj")
+    except FileNotFoundError:
+        pytest.skip("laikago mesh asset not found")
     verts, tris = nm.load_obj_file(path)
     assert len(verts) > 100 and len(tris) > 100
     assert np.all(tris < len(verts))
