@@ -29,7 +29,11 @@ def initialize_distributed(
     """Bootstrap jax.distributed. On Cloud TPU pods all arguments
     autodetect; elsewhere pass them or set JAX_COORDINATOR_ADDRESS /
     JAX_NUM_PROCESSES / JAX_PROCESS_ID."""
-    if jax.process_count() > 1:
+    # NB: don't probe jax.process_count() here — it would initialize the
+    # XLA backend, after which jax.distributed.initialize() refuses to run.
+    from jax._src import distributed as _jd
+
+    if getattr(_jd.global_state, "client", None) is not None:
         return  # already initialized
     kwargs = {}
     addr = coordinator_address or os.environ.get("JAX_COORDINATOR_ADDRESS")

@@ -58,12 +58,14 @@ def run_ars_step(mesh):
     step_fn = make_train_step(env, policy, config, mesh=mesh)
     state = init_ars(env, policy, jax.random.PRNGKey(0))
     state, _ = step_fn(state)
-    params = state.params
-    if not params.is_fully_addressable:
-        from jax.experimental import multihost_utils
+    # Force a replicated layout so every process holds the full vector,
+    # then read the local shard (valid in single- and multi-process runs).
+    from jax.sharding import NamedSharding, PartitionSpec
 
-        params = multihost_utils.process_allgather(params)
-    return np.asarray(params)
+    replicated = jax.jit(
+        lambda x: x, out_shardings=NamedSharding(mesh, PartitionSpec())
+    )(state.params)
+    return np.asarray(replicated.addressable_data(0))
 
 
 if __name__ == "__main__":

@@ -22,6 +22,102 @@ using Algebra = TinyAlgebra<double, TINY::DoubleUtils>;
 using Vector3 = Algebra::Vector3;
 using VectorX = Algebra::VectorX;
 
+static void dump_vec(FILE* out, const VectorX& v);
+static std::string read_file(const std::string& path);
+
+// ---- PD-driven robot on plane THROUGH the reference World/MLCP ------------
+// The articulated-contact analog of the reference's RBDL simulation-loop
+// test (test_rbdl.cpp:107-300): fixed-base *_xyz_xyzrot robot (6 passive
+// base-emulation joints), per-step PD toward initial poses
+// (locomotion_contact_simulation.h:170-257), env-loop ordering (:259-271).
+static void pd_locomotion_golden(const char* urdf_path, const char* out_path,
+                                 const std::vector<double>& poses, double kp,
+                                 double kd, double max_force, double start_z,
+                                 double dt, int steps, int snap_every) {
+  tds::World<Algebra> world;
+  tds::NullLogger logger;
+  int flags = 0;
+
+  tds::UrdfStructures<Algebra> plane_urdf;
+  std::string plane_text = read_file("/root/reference/data/plane_implicit.urdf");
+  tds::UrdfParser<Algebra>::load_urdf_from_string(plane_text, flags, logger,
+                                                  plane_urdf);
+  tds::MultiBody<Algebra>* plane_mb = world.create_multi_body("plane");
+  tds::UrdfToMultiBody<Algebra>::convert_to_multi_body(plane_urdf, world,
+                                                       *plane_mb, 0);
+  plane_mb->initialize();
+
+  tds::UrdfStructures<Algebra> urdf;
+  std::string text = read_file(urdf_path);
+  if (!tds::UrdfParser<Algebra>::load_urdf_from_string(text, flags, logger,
+                                                       urdf)) {
+    printf("skipping %s (parse failed)\n", out_path);
+    return;
+  }
+  tds::MultiBody<Algebra>* mb = world.create_multi_body("robot");
+  tds::UrdfToMultiBody<Algebra>::convert_to_multi_body(urdf, world, *mb, 0);
+  mb->initialize();
+
+  // deterministic initial state: base emulation z, PD joints at pose
+  for (int i = 0; i < mb->dof(); ++i) mb->q(i) = 0.0;
+  for (int i = 0; i < mb->dof_qd(); ++i) mb->qd(i) = 0.0;
+  mb->q(2) = start_z;
+  {
+    size_t pose_index = 0;
+    int li = 0;
+    for (const auto& link : *mb) {
+      if (link.joint_type != tds::JOINT_FIXED && li >= 6 &&
+          pose_index < poses.size()) {
+        mb->q(link.q_index) = poses[pose_index++];
+      }
+      ++li;
+    }
+  }
+
+  Vector3 gravity(0., 0., -9.81);
+  world.set_gravity(gravity);
+
+  FILE* out = fopen(out_path, "w");
+  fprintf(out, "{\"dt\": %.17g, \"kp\": %g, \"kd\": %g, \"max_force\": %g,"
+               " \"snapshots\": {", dt, kp, kd, max_force);
+  bool first = true;
+  for (int t = 0; t <= steps; ++t) {
+    if (t % snap_every == 0) {
+      fprintf(out, "%s\"%d\": {\"q\": ", first ? "" : ",", t);
+      dump_vec(out, mb->q());
+      fprintf(out, ", \"qd\": ");
+      dump_vec(out, mb->qd());
+      fprintf(out, "}");
+      first = false;
+    }
+    if (t == steps) break;
+    // PD torques toward the initial poses (zero action), passive first 6
+    size_t pose_index = 0;
+    int li = 0;
+    for (int i = 0; i < mb->dof_actuated(); ++i) mb->tau(i) = 0.0;
+    for (const auto& link : *mb) {
+      if (link.joint_type != tds::JOINT_FIXED && li >= 6 &&
+          pose_index < poses.size()) {
+        double err = poses[pose_index] - mb->q(link.q_index);
+        double force = kp * err - kd * mb->qd(link.qd_index);
+        if (force > max_force) force = max_force;
+        if (force < -max_force) force = -max_force;
+        mb->tau(link.qd_index) = force;
+        ++pose_index;
+      }
+      ++li;
+    }
+    tds::forward_dynamics(*mb, gravity);
+    mb->clear_forces();
+    tds::integrate_euler_qdd(*mb, dt);
+    world.step(dt);
+    tds::integrate_euler(*mb, dt);
+  }
+  fprintf(out, "}}\n");
+  fclose(out);
+  printf("wrote %s\n", out_path);
+}
+
 static std::string read_file(const std::string& path) {
   std::ifstream f(path);
   return std::string(std::istreambuf_iterator<char>(f), {});
@@ -258,5 +354,21 @@ int main(int argc, char** argv) {
     fclose(out);
     printf("wrote humanoid_spherical_dynamics.json\n");
   }
+
+  // ---- case 4: PD-driven laikago on plane, 500 steps through the MLCP ----
+  pd_locomotion_golden(
+      "/root/reference/data/laikago/laikago_toes_zup_xyz_xyzrot.urdf",
+      "tests/golden/laikago_pd_contact_trajectory.json",
+      {0.2, 0.0, -0.7, 0.2, 0.0, -0.7, 0.2, 0.0, -0.7, 0.2, 0.0, -0.7},
+      100.0, 2.0, 50.0, /*start_z=*/0.48, /*dt=*/1e-3, /*steps=*/500,
+      /*snap_every=*/50);
+
+  // ---- case 5: PD-driven ant on plane -------------------------------------
+  pd_locomotion_golden(
+      "/root/reference/data/gym/ant_org_xyz_xyzrot.urdf",
+      "tests/golden/ant_pd_contact_trajectory.json",
+      {0.0, -0.5, 0.0, -0.5, 0.0, -0.5, 0.0, -0.5},
+      15.0, 0.3, 3.0, /*start_z=*/0.48, /*dt=*/0.01, /*steps=*/500,
+      /*snap_every=*/50);
   return 0;
 }
