@@ -37,9 +37,10 @@ def main():
     cfg = MpcConfig(
         mass=total_mass,
         inertia=jnp.diag(jnp.asarray([0.07, 0.25, 0.25], jnp.float32)),
-        planning_horizon=6,
+        planning_horizon=10,
         timestep=0.025,
-        solver_iterations=40,
+        solver_iterations=300,
+        alpha=1e-6,
         qp_weights=jnp.asarray(
             [5, 5, 0.2, 0, 0, 10, 0, 0, 1, 1, 1, 1, 0], jnp.float32
         ),

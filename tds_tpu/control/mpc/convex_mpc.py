@@ -39,7 +39,7 @@ class MpcConfig(NamedTuple):
     friction_coeff: float = 0.45
     fz_min: float = 10.0
     fz_max: float = 210.0  # ~ mass*g/2 upper bound per the reference usage
-    solver_iterations: int = 40
+    solver_iterations: int = 200
 
 
 def _rpy_rate_matrix(yaw):
