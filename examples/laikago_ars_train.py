@@ -17,6 +17,7 @@ class Cfg:
     rollout_length: int = 400
     delta_std: float = 0.03
     step_size: float = 0.02
+    top_directions: int = 0
     iterations: int = 50
     eval_interval: int = 10
     checkpoint: str = "./logs/laikago_ars/policy.pkl"
@@ -41,6 +42,7 @@ def main():
         rollout_length=cfg.rollout_length,
         delta_std=cfg.delta_std,
         step_size=cfg.step_size,
+        top_directions=cfg.top_directions,
         eval_interval=cfg.eval_interval,
     )
     mesh = make_mesh() if len(jax.devices()) > 1 else None

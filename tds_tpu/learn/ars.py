@@ -42,6 +42,12 @@ class ARSConfig(NamedTuple):
     # use_std_deviation=false); enabled here by default because it makes
     # step_size robust to reward scale.
     scale_by_reward_std: bool = True
+    # ARS V1-t/V2-t (Mania et al. 2018, Alg. 2 line 6): update from only
+    # the top_directions by max(r+, r-), with sigma_R computed over the
+    # selected 2b rewards. 0 = use all directions (the reference's
+    # weighted_sum_custom behavior). Without selection, a few walking
+    # directions drown in the noise of ~everything else on hard tasks.
+    top_directions: int = 0
 
 
 @struct.dataclass
@@ -132,11 +138,27 @@ def make_train_step(
         r_neg, steps_neg, stats_neg = jax.vmap(run)(w_neg, env_keys)
 
         weights = r_pos - r_neg
-        if config.scale_by_reward_std:
-            r_all = jnp.concatenate([r_pos, r_neg])
-            sigma_r = jnp.maximum(jnp.std(r_all), 1e-6)
-            weights = weights / sigma_r
-        g_hat = jnp.mean(weights[:, None] * deltas, axis=0) * config.delta_std
+        if config.top_directions and config.top_directions < n:
+            b = int(config.top_directions)
+            score = jnp.maximum(r_pos, r_neg)
+            _, idx = jax.lax.top_k(score, b)
+            sel = jnp.zeros((n,), weights.dtype).at[idx].set(1.0)
+            if config.scale_by_reward_std:
+                # std over the 2b selected rewards (ARS paper sigma_R)
+                r_sel = jnp.concatenate([r_pos[idx], r_neg[idx]])
+                sigma_r = jnp.maximum(jnp.std(r_sel), 1e-6)
+                weights = weights / sigma_r
+            g_hat = (
+                jnp.sum((weights * sel)[:, None] * deltas, axis=0) / b
+            ) * config.delta_std
+        else:
+            if config.scale_by_reward_std:
+                r_all = jnp.concatenate([r_pos, r_neg])
+                sigma_r = jnp.maximum(jnp.std(r_all), 1e-6)
+                weights = weights / sigma_r
+            g_hat = (
+                jnp.mean(weights[:, None] * deltas, axis=0) * config.delta_std
+            )
         params = state.params + config.step_size * g_hat
 
         # merge observation stats (sum/sumsq accumulation -> Welford merge)
