@@ -64,6 +64,42 @@ def main():
 
     finite = bool(jnp.all(jnp.isfinite(out_q)))
     steps_per_s = batch * inner_steps / best
+
+    # secondary metric: FUSED policy-MLP + physics + reward/done + auto-reset
+    # steps/s — the number that bounds ARS wall-clock (reference measures
+    # only the zero-action forward_zero kernel; we report both).
+    from tds_tpu.learn.nn import linear_policy
+
+    policy = linear_policy(env.observation_dim, env.action_dim)
+    params = jnp.zeros((policy.num_parameters,), jnp.float32)
+
+    @jax.jit
+    def rollout_policy(states, obs):
+        def body(carry, _):
+            states, obs = carry
+            actions = jax.vmap(lambda o: policy.apply(params, o))(obs)
+            states, obs, reward, done = jax.vmap(env.step)(states, actions)
+            return (states, obs), None
+
+        (states, obs), _ = jax.lax.scan(
+            body, (states, obs), None, length=inner_steps
+        )
+        return states, obs
+
+    keys = jax.random.split(jax.random.PRNGKey(1), batch)
+    states0, obs0 = jax.vmap(env.reset)(keys)
+    t0 = time.time()
+    st_w, obs_w = rollout_policy(states0, obs0)
+    jax.block_until_ready(obs_w)
+    compile_policy_s = time.time() - t0
+    best_policy = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        st, obs = rollout_policy(states0, obs0)
+        jax.block_until_ready(obs)
+        best_policy = min(best_policy, time.time() - t0)
+    policy_steps_per_s = batch * inner_steps / best_policy
+
     result = {
         "metric": "laikago_env_steps_per_s",
         "value": round(steps_per_s, 1),
@@ -74,6 +110,21 @@ def main():
     print(
         f"# batch={batch} steps={inner_steps} best={best:.4f}s "
         f"compile={compile_s:.1f}s finite={finite} device={jax.devices()[0]}",
+        file=sys.stderr,
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "laikago_policy_env_steps_per_s",
+                "value": round(policy_steps_per_s, 1),
+                "unit": "steps/s",
+                "vs_baseline": round(policy_steps_per_s / 2.0e5, 3),
+            }
+        ),
+        file=sys.stderr,
+    )
+    print(
+        f"# policy-fused: best={best_policy:.4f}s compile={compile_policy_s:.1f}s",
         file=sys.stderr,
     )
 

@@ -183,3 +183,162 @@ def point_jacobian(mb: TinyMultiBody, link_index, point, is_local=False):
 
 def inverse_dynamics(mb: TinyMultiBody, qdd, gravity):
     return _id(mb.model, mb.q, mb.qd, jnp.asarray(qdd), jnp.asarray(gravity))
+
+
+# ---- math parity names (pytinydiffsim.inl vector/quaternion surface) -------
+def VectorX(values):
+    return jnp.asarray(values, dtype=jnp.result_type(float))
+
+
+quat_from_euler_rpy = None  # assigned below (needs rotation import)
+
+
+def _quat_from_euler_rpy(rpy):
+    from tds_tpu.algebra import rotation
+
+    rpy = jnp.asarray(rpy)
+    return _quat.from_matrix(rotation.from_rpy(rpy[..., 0], rpy[..., 1], rpy[..., 2]))
+
+
+quat_from_euler_rpy = _quat_from_euler_rpy
+
+
+def get_euler_rpy(q):
+    """Quaternion -> roll/pitch/yaw (eigen_algebra.hpp get_euler_rpy)."""
+    m = _quat.to_matrix(jnp.asarray(q))
+    sy = jnp.sqrt(m[..., 0, 0] ** 2 + m[..., 1, 0] ** 2)
+    roll = jnp.arctan2(m[..., 2, 1], m[..., 2, 2])
+    pitch = jnp.arctan2(-m[..., 2, 0], sy)
+    yaw = jnp.arctan2(m[..., 1, 0], m[..., 0, 0])
+    return jnp.stack([roll, pitch, yaw], axis=-1)
+
+
+quaternion_integrate = _quat.integrate_world
+quat_velocity = _quat.velocity_world
+quat_axis_angle = _quat.from_axis_angle
+
+
+# ---- geometry (pytinydiffsim.inl TinyGeometry surface) ----------------------
+from tds_tpu.model.geometry import (  # noqa: E402
+    Box as TinyBox,
+    Capsule as TinyCapsule,
+    GeomAttachment,
+    Plane as TinyPlane,
+    Sphere as TinySphere,
+)
+
+# ---- single rigid body (pytinydiffsim.inl TinyRigidBody) --------------------
+class TinyRigidBody:
+    """Mutable veneer over the functional rigid body (rigid_body.py)."""
+
+    def __init__(self, mass, inv_inertia_world=None, position=None):
+        from tds_tpu import rigid_body as _rb
+
+        self.params = _rb.RigidBodyParams.create(mass, inv_inertia_world)
+        self.state = _rb.RigidBodyState.create(position=position)
+        self._rb = _rb
+
+    @property
+    def world_pose(self):
+        return self.state.position, self.state.orientation
+
+    def apply_gravity(self, gravity):
+        self.state = self._rb.apply_gravity(self.state, self.params, jnp.asarray(gravity))
+
+    def apply_central_force(self, force):
+        self.state = self._rb.apply_central_force(self.state, jnp.asarray(force))
+
+    def apply_force_impulse(self, dt):
+        self.state = self._rb.apply_force_impulse(self.state, self.params, dt)
+
+    def apply_impulse(self, impulse, rel_pos):
+        self.state = self._rb.apply_impulse(
+            self.state, self.params, jnp.asarray(impulse), jnp.asarray(rel_pos)
+        )
+
+    def clear_forces(self):
+        self.state = self._rb.clear_forces(self.state)
+
+    def integrate(self, dt):
+        self.state = self._rb.integrate(self.state, dt)
+
+
+# ---- neural network (pytinydiffsim.inl TinyNeuralNetwork) -------------------
+class TinyNeuralNetwork:
+    """specification + flat parameters, compute() like the bindings."""
+
+    def __init__(self, input_dim, layer_dims, activations=None, learn_bias=True):
+        from tds_tpu.learn.nn import MLPSpec
+
+        self.spec = MLPSpec(input_dim, layer_dims, activations, use_bias=learn_bias)
+        self.params = jnp.zeros((self.spec.num_parameters,))
+
+    @property
+    def num_parameters(self):
+        return self.spec.num_parameters
+
+    def set_parameters(self, params):
+        self.params = jnp.asarray(params)
+
+    def compute(self, inputs):
+        return self.spec.apply(self.params, jnp.asarray(inputs))
+
+    def initialize(self, key=None, method="xavier"):
+        import jax as _jax
+
+        key = key if key is not None else _jax.random.PRNGKey(0)
+        self.params = self.spec.init(key, scheme=method)
+        return self.params
+
+
+# ---- raycasting (pytinydiffsim.inl TinyRaycast) ------------------------------
+def cast_rays(origins, targets, shapes, transforms):
+    from tds_tpu.collision.raycast import cast_rays as _cast
+
+    return _cast(jnp.asarray(origins), jnp.asarray(targets), shapes, transforms)
+
+
+# ---- environments (pytinydiffsim.inl:1078-1185) ------------------------------
+def ReacherEnv(**kw):
+    from tds_tpu.envs.reacher import ReacherEnv as _E
+
+    return _E(**kw)
+
+
+def CartpoleEnv(**kw):
+    from tds_tpu.envs.cartpole import CartpoleEnv as _E
+
+    return _E(**kw)
+
+
+def AntEnv(**kw):
+    from tds_tpu.envs.ant import AntEnv as _E
+
+    return _E(**kw)
+
+
+def LaikagoEnv(**kw):
+    from tds_tpu.envs.laikago import LaikagoEnv as _E
+
+    return _E(**kw)
+
+
+def _vectorized(env, num_envs, auto_reset=True):
+    from tds_tpu.envs.vectorized import VectorizedEnv
+
+    return VectorizedEnv(env, num_envs, auto_reset=auto_reset)
+
+
+def VectorizedAntEnv(num_envs: int = 128, auto_reset: bool = True, **kw):
+    """inl:1185 analog: batched ant env (vmap replaces the CUDA stepper)."""
+    return _vectorized(AntEnv(**kw), num_envs, auto_reset)
+
+
+def VectorizedLaikagoEnv(num_envs: int = 128, auto_reset: bool = True, **kw):
+    """inl:1165 analog: batched laikago env."""
+    return _vectorized(LaikagoEnv(**kw), num_envs, auto_reset)
+
+
+def fraction(n, d):
+    """Scalar-trait constant constructor (tiny_double_utils.h fraction)."""
+    return float(n) / float(d)

@@ -40,6 +40,11 @@ class World:
     # "mlcp" (impulse-level LCP, reference default) or "spring" (force-based
     # spring-damper, the smooth-gradient alternative)
     contact_model: str = struct.field(pytree_node=False, default="mlcp")
+    # Pair friction semantics: "geom_min" = min of the two geoms' materials
+    # (this library's default); "world_default" = always the solver's world
+    # friction, matching the reference exactly (world.hpp:320-327 passes
+    # default_friction for every pair regardless of URDF contact tags).
+    friction_mode: str = struct.field(pytree_node=False, default="geom_min")
     spring: SpringContactParams = struct.field(
         pytree_node=False, default=SpringContactParams()
     )
@@ -62,6 +67,7 @@ def build_world(
     solver: ContactSolverParams = ContactSolverParams(),
     contact_model: str = "mlcp",
     spring: SpringContactParams = SpringContactParams(),
+    friction_mode: str = "geom_min",
 ) -> World:
     return World(
         bodies=tuple(b for b, _ in bodies_and_geoms),
@@ -69,6 +75,7 @@ def build_world(
         solver=solver,
         contact_model=contact_model,
         spring=spring,
+        friction_mode=friction_mode,
     )
 
 
@@ -105,10 +112,14 @@ def gather_pair_contacts(
             contacts.append(c)
             link_a += [ga.link_index] * c.count
             link_b += [gb.link_index] * c.count
-            # reference uses world defaults for the pair (world.hpp:320-327);
-            # we take the minimum-friction material of the two geoms
-            frictions += [min(ga.friction, gb.friction)] * c.count
-            restitutions += [max(ga.restitution, gb.restitution)] * c.count
+            if world.friction_mode == "world_default":
+                # exact reference semantics (world.hpp:320-327)
+                frictions += [world.solver.friction] * c.count
+                restitutions += [world.solver.restitution] * c.count
+            else:
+                # minimum-friction material of the two geoms
+                frictions += [min(ga.friction, gb.friction)] * c.count
+                restitutions += [max(ga.restitution, gb.restitution)] * c.count
     if not contacts:
         return None
     return ContactBatch(

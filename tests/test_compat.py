@@ -54,3 +54,63 @@ def test_free_functions_and_math():
     np.testing.assert_allclose(tau, np.zeros(2), atol=1e-10)
     jac = compat.point_jacobian(mb, 1, [0.0, 0.0, -1.0])
     assert jac.shape == (3, 2)
+
+
+def test_extended_binding_surface():
+    """Round-2 widening of the pytinydiffsim veneer: geometry, rigid body,
+    neural network, raycast, quaternion helpers, vectorized envs."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tds_tpu import compat as pd
+
+    # math helpers
+    rpy = jnp.asarray([0.1, -0.2, 0.3])
+    q = pd.quat_from_euler_rpy(rpy)
+    np.testing.assert_allclose(pd.get_euler_rpy(q), rpy, atol=1e-6)
+    v = pd.VectorX([1.0, 2.0, 3.0])
+    assert v.shape == (3,)
+
+    # geometry aliases
+    s = pd.TinySphere(0.2)
+    assert s.radius == 0.2
+    assert pd.TinyPlane().normal == (0.0, 0.0, 1.0)
+
+    # rigid body
+    rb = pd.TinyRigidBody(2.0, position=(0.0, 0.0, 1.0))
+    rb.apply_gravity((0, 0, -9.81))
+    rb.apply_force_impulse(0.1)
+    rb.clear_forces()
+    rb.integrate(0.1)
+    pos, orn = rb.world_pose
+    assert float(pos[2]) < 1.0  # fell
+    assert np.all(np.isfinite(np.asarray(pos)))
+
+    # neural network
+    nn = pd.TinyNeuralNetwork(3, (8, 2))
+    nn.initialize(jax.random.PRNGKey(0))
+    out = nn.compute(jnp.ones(3))
+    assert out.shape == (2,) and np.all(np.isfinite(np.asarray(out)))
+
+    # raycast
+    from tds_tpu.algebra.transform import Transform
+
+    hit = pd.cast_rays(
+        jnp.asarray([[0.0, 0.0, 1.0]]),
+        jnp.asarray([[0.0, 0.0, -1.0]]),
+        [pd.TinySphere(0.25)],
+        [Transform(pos=jnp.zeros(3), rot=jnp.eye(3))],
+    )
+    assert float(hit.fraction[0]) < 1.0  # hit the sphere
+
+    # vectorized env (small batch to keep it quick)
+    venv = pd.VectorizedAntEnv(num_envs=2)
+    states, obs = venv.reset(jax.random.PRNGKey(0))
+    states, obs, r, d = venv.step(
+        states, jnp.zeros((2, venv.env.action_dim))
+    )
+    assert obs.shape[0] == 2
+    assert np.all(np.isfinite(np.asarray(obs)))
+
+    assert pd.fraction(1, 2) == 0.5

@@ -249,3 +249,52 @@ def test_contact_gradients():
     eps = 1e-5
     fd = (final_height(1.2 + eps) - final_height(1.2 - eps)) / (2 * eps)
     np.testing.assert_allclose(float(g), float(fd), rtol=2e-2, atol=1e-3)
+
+
+def test_friction_mode_world_default():
+    import dataclasses
+    """friction_mode="world_default" reproduces the reference's semantics
+    (world.hpp:320-327): every pair uses the solver's world friction, not
+    the geom materials."""
+    import jax.numpy as jnp
+
+    from tds_tpu.contact.mlcp import ContactSolverParams
+    from tds_tpu.model.geometry import GeomAttachment, Sphere
+    from tds_tpu.model.multibody import MultiBodyBuilder
+    from tds_tpu.world import build_world, gather_pair_contacts, make_ground_plane
+    from tds_tpu.dynamics.kinematics import fk_links
+
+    b = MultiBodyBuilder(is_floating=True, name="ball")
+    b.set_base_inertia(1.0, (0, 0, 0), np.diag([0.01] * 3))
+    ball = b.finalize()
+    geom = (GeomAttachment(link_index=-1, shape=Sphere(0.1), friction=0.9),)
+    solver = ContactSolverParams(friction=0.5)
+
+    for mode, expect in (("geom_min", 0.5), ("world_default", 0.5)):
+        world = build_world(
+            [make_ground_plane(), (ball, geom)], solver=solver,
+            friction_mode=mode,
+        )
+        q = ball.zero_q().at[6].set(0.05)
+        kins = [
+            fk_links(world.bodies[i], q0, jnp.zeros(world.bodies[i].dof_qd))
+            for i, q0 in enumerate((jnp.zeros(0), q))
+        ]
+        batch = gather_pair_contacts(world, kins, 0, 1, q.dtype)
+        assert float(batch.friction[0]) == expect, mode
+
+    # with a slippery plane geom, geom_min picks it up; world_default ignores
+    plane_model, plane_geoms = make_ground_plane()
+    slippery = (dataclasses.replace(plane_geoms[0], friction=0.1),)
+    for mode, expect in (("geom_min", 0.1), ("world_default", 0.5)):
+        world = build_world(
+            [(plane_model, slippery), (ball, geom)], solver=solver,
+            friction_mode=mode,
+        )
+        q = ball.zero_q().at[6].set(0.05)
+        kins = [
+            fk_links(plane_model, jnp.zeros(0), jnp.zeros(0)),
+            fk_links(ball, q, jnp.zeros(ball.dof_qd)),
+        ]
+        batch = gather_pair_contacts(world, kins, 0, 1, q.dtype)
+        assert float(batch.friction[0]) == expect, mode
