@@ -21,6 +21,7 @@ class Cfg:
     iterations: int = 50
     eval_interval: int = 10
     checkpoint: str = "./logs/laikago_ars/policy.pkl"
+    resume: str = ""  # checkpoint to warm-start params/obs_stat from
 
 
 def main():
@@ -49,6 +50,18 @@ def main():
     step_fn = make_train_step(env, policy, ars_cfg, mesh=mesh)
     eval_fn = make_eval(env, policy, ars_cfg, num_rollouts=8)
     state = init_ars(env, policy, jax.random.PRNGKey(0))
+    if cfg.resume:
+        from tds_tpu.learn.running_stat import RunningStat
+        from tds_tpu.utils.checkpoint import load_checkpoint
+
+        saved, meta = load_checkpoint(cfg.resume)
+        obs_stat = jax.tree_util.tree_map(jnp.asarray, saved["obs_stat"])
+        if not isinstance(obs_stat, RunningStat):
+            obs_stat = RunningStat(*obs_stat)
+        state = state.replace(
+            params=jnp.asarray(saved["params"]), obs_stat=obs_stat
+        )
+        print(f"resumed from {cfg.resume} (iteration {meta.get('iteration')})")
 
     for it in range(cfg.iterations):
         state, metrics = step_fn(state)
