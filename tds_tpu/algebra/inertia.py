@@ -18,6 +18,7 @@ from typing import NamedTuple
 import jax.numpy as jnp
 
 from tds_tpu.algebra import spatial
+from tds_tpu.algebra import smallmat as sm
 
 
 class RigidBodyInertia(NamedTuple):
@@ -36,8 +37,8 @@ class RigidBodyInertia(NamedTuple):
         mass = jnp.asarray(mass)
         com = jnp.asarray(com)
         cx = spatial.cross_matrix(com)
-        i_o = jnp.asarray(inertia_about_com) + mass[..., None, None] * (
-            cx @ jnp.swapaxes(cx, -1, -2)
+        i_o = jnp.asarray(inertia_about_com) + mass[..., None, None] * sm.mmt(
+            cx, cx
         )
         return RigidBodyInertia(mass=mass, h=mass[..., None] * com, inertia=i_o)
 
@@ -49,7 +50,7 @@ class RigidBodyInertia(NamedTuple):
     def mul_motion(self, m):
         """Spatial momentum f = I v = [I w + h x v, m v - h x w]."""
         w, v = m[..., :3], m[..., 3:]
-        n = jnp.einsum("...ij,...j->...i", self.inertia, w) + jnp.cross(self.h, v)
+        n = sm.mv(self.inertia, w) + jnp.cross(self.h, v)
         f = self.mass[..., None] * v - jnp.cross(self.h, w)
         return spatial.fv(n, f)
 
@@ -94,20 +95,19 @@ class ArticulatedBodyInertia(NamedTuple):
     def mul_motion(self, v):
         """Ia*v = fv(I w + H v, M v + H^T w) (reference inertia.hpp:205-210)."""
         w, lin = v[..., :3], v[..., 3:]
-        n = jnp.einsum("...ij,...j->...i", self.I, w) + jnp.einsum(
-            "...ij,...j->...i", self.H, lin
-        )
-        f = jnp.einsum("...ij,...j->...i", self.M, lin) + jnp.einsum(
-            "...ji,...j->...i", self.H, w
-        )
+        n = sm.mv(self.I, w) + sm.mv(self.H, lin)
+        f = sm.mv(self.M, lin) + sm.mtv(self.H, w)
         return spatial.fv(n, f)
 
     def mul_matrix63(self, s):
         """ABI @ S for a (..., 6, 3) motion-subspace matrix -> (..., 6, 3)."""
         st, sb = s[..., :3, :], s[..., 3:, :]
-        ht = jnp.swapaxes(self.H, -1, -2)
         return jnp.concatenate(
-            [self.I @ st + self.H @ sb, ht @ st + self.M @ sb], axis=-2
+            [
+                sm.mm(self.I, st) + sm.mm(self.H, sb),
+                sm.mtm(self.H, st) + sm.mm(self.M, sb),
+            ],
+            axis=-2,
         )
 
     def inverse(self):
@@ -125,24 +125,21 @@ class ArticulatedBodyInertia(NamedTuple):
 
         a_inv = inv3(self.I)
         h = self.H
-        ht = jnp.swapaxes(h, -1, -2)
-        s = self.M - ht @ a_inv @ h
+        s = self.M - sm.mtm(h, sm.mm(a_inv, h))
         s_inv = inv3(s)
-        ainv_h_sinv = a_inv @ h @ s_inv
+        ainv_h_sinv = sm.mm(sm.mm(a_inv, h), s_inv)
         return ArticulatedBodyInertia(
-            I=a_inv + ainv_h_sinv @ ht @ a_inv, H=-ainv_h_sinv, M=s_inv
+            I=a_inv + sm.mm(ainv_h_sinv, sm.mtm(h, a_inv)),
+            H=-ainv_h_sinv,
+            M=s_inv,
         )
 
     def inv_mul(self, f):
         """Solve Ia * a = f for a motion vector a."""
         inv = self.inverse()
         n, lin = f[..., :3], f[..., 3:]
-        topv = jnp.einsum("...ij,...j->...i", inv.I, n) + jnp.einsum(
-            "...ij,...j->...i", inv.H, lin
-        )
-        botv = jnp.einsum("...ij,...j->...i", inv.M, lin) + jnp.einsum(
-            "...ji,...j->...i", inv.H, n
-        )
+        topv = sm.mv(inv.I, n) + sm.mv(inv.H, lin)
+        botv = sm.mv(inv.M, lin) + sm.mtv(inv.H, n)
         return spatial.mv(topv, botv)
 
     @staticmethod
@@ -161,6 +158,6 @@ class ArticulatedBodyInertia(NamedTuple):
         """a @ b^T for (..., 6, 3) matrices (reference inertia.hpp:353-369)."""
         at, ab = a[..., :3, :], a[..., 3:, :]
         bt, bb = b[..., :3, :], b[..., 3:, :]
-        btt = jnp.swapaxes(bt, -1, -2)
-        bbt = jnp.swapaxes(bb, -1, -2)
-        return ArticulatedBodyInertia(I=at @ btt, H=at @ bbt, M=ab @ bbt)
+        return ArticulatedBodyInertia(
+            I=sm.mmt(at, bt), H=sm.mmt(at, bb), M=sm.mmt(ab, bb)
+        )

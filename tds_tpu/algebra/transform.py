@@ -23,15 +23,9 @@ from typing import NamedTuple
 import jax.numpy as jnp
 
 from tds_tpu.algebra import spatial
+from tds_tpu.algebra.smallmat import mm as _mm3, mmt as _mmt3
 from tds_tpu.algebra.inertia import ArticulatedBodyInertia, RigidBodyInertia
-
-
-def _mv3(m, v):
-    return jnp.einsum("...ij,...j->...i", m, v)
-
-
-def _mtv3(m, v):
-    return jnp.einsum("...ji,...j->...i", m, v)
+from tds_tpu.algebra.smallmat import mv as _mv3, mtv as _mtv3
 
 
 class Transform(NamedTuple):
@@ -64,7 +58,7 @@ class Transform(NamedTuple):
         """
         return Transform(
             pos=self.pos + _mv3(self.rot, other.pos),
-            rot=self.rot @ other.rot,
+            rot=_mm3(self.rot, other.rot),
         )
 
     def __mul__(self, other):
@@ -153,7 +147,7 @@ class Transform(NamedTuple):
         rx = spatial.cross_matrix(self.pos)
         zero = jnp.zeros_like(e)
         topr = jnp.concatenate([e, zero], axis=-1)
-        botr = jnp.concatenate([-(e @ rx), e], axis=-1)
+        botr = jnp.concatenate([-_mm3(e, rx), e], axis=-1)
         return jnp.concatenate([topr, botr], axis=-2)
 
     # ---- inertias ----------------------------------------------------------
@@ -169,9 +163,9 @@ class Transform(NamedTuple):
         h_new = e_t_h + rbi.mass[..., None] * r
         rx = spatial.cross_matrix(r)
         i_new = (
-            rt @ rbi.inertia @ jnp.swapaxes(rt, -1, -2)
-            - rx @ spatial.cross_matrix(e_t_h)
-            - spatial.cross_matrix(h_new) @ rx
+            _mmt3(_mm3(rt, rbi.inertia), rt)
+            - _mm3(rx, spatial.cross_matrix(e_t_h))
+            - _mm3(spatial.cross_matrix(h_new), rx)
         )
         return RigidBodyInertia(mass=rbi.mass, h=h_new, inertia=i_new)
 
@@ -185,13 +179,13 @@ class Transform(NamedTuple):
           I' = R I R^T - (R H R^T) rx + rx (R H^T R^T) - rx M' rx
         """
         r_m = self.rot
-        rt = jnp.swapaxes(r_m, -1, -2)
         rx = spatial.cross_matrix(self.pos)
-        mp = r_m @ abi.M @ rt
-        hp = r_m @ abi.H @ rt
-        hpt = r_m @ jnp.swapaxes(abi.H, -1, -2) @ rt
+        mp = _mmt3(_mm3(r_m, abi.M), r_m)
+        hp = _mmt3(_mm3(r_m, abi.H), r_m)
+        hpt = _mmt3(_mm3(r_m, jnp.swapaxes(abi.H, -1, -2)), r_m)
         return ArticulatedBodyInertia(
-            I=r_m @ abi.I @ rt - hp @ rx + rx @ hpt - rx @ mp @ rx,
-            H=hp + rx @ mp,
+            I=_mmt3(_mm3(r_m, abi.I), r_m) - _mm3(hp, rx) + _mm3(rx, hpt)
+            - _mm3(_mm3(rx, mp), rx),
+            H=hp + _mm3(rx, mp),
             M=mp,
         )

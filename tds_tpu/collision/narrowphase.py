@@ -15,6 +15,7 @@ from typing import NamedTuple
 import jax.numpy as jnp
 
 from tds_tpu.algebra.transform import Transform
+from tds_tpu.algebra import smallmat as sm
 from tds_tpu.model.geometry import Box, Capsule, Plane, Sphere
 
 
@@ -155,7 +156,7 @@ def sphere_box(sa: Sphere, xa: Transform, bb: Box, xb: Transform) -> Contact:
     dist_center = jnp.where(outside, dist_out, d_in)
     closest_local = jnp.where(outside[..., None], closest, closest_in)
 
-    normal_world = jnp.einsum("...ij,...j->...i", xb.rot, n_local)
+    normal_world = sm.mv(xb.rot, n_local)
     point_b = xb.apply_point(closest_local)
     distance = dist_center - sa.radius
     point_a = xa.pos - sa.radius * normal_world

@@ -24,6 +24,7 @@ from typing import NamedTuple, Optional, Sequence, Tuple
 import jax.numpy as jnp
 
 from tds_tpu.collision.narrowphase import Contact
+from tds_tpu.algebra import smallmat as sm
 from tds_tpu.dynamics.jacobian import point_jacobian_kin
 from tds_tpu.dynamics.kinematics import fk_links
 from tds_tpu.dynamics.mass_matrix import mass_matrix_from_kin
@@ -206,8 +207,8 @@ def resolve_collision(
         jb = jac(model_b, kin_b, batch.link_b[i], cp.point_b[..., i, :]) if n_b else None
         jacs_a_n.append(ja)
         jacs_b_n.append(jb)
-        vel_a = jnp.einsum("...ij,...j->...i", ja, qd_a) if n_a else 0.0
-        vel_b = jnp.einsum("...ij,...j->...i", jb, qd_b) if n_b else 0.0
+        vel_a = sm.mv(ja, qd_a) if n_a else 0.0
+        vel_b = sm.mv(jb, qd_b) if n_b else 0.0
         rel_vel = vel_a - vel_b
         rel_vels.append(rel_vel)
         vn = jnp.sum(cp.normal_on_b[..., i, :] * rel_vel, axis=-1)
@@ -226,10 +227,7 @@ def resolve_collision(
 
     def proj(jacs, direction):
         """J^T d per candidate -> constraint row (…, n)."""
-        return [
-            jnp.einsum("...ij,...i->...j", jacs[i], direction[i])
-            for i in range(n_c)
-        ]
+        return [sm.mtv(jacs[i], direction[i]) for i in range(n_c)]
 
     def stack_rows(rows):
         return jnp.stack(rows, axis=-2)  # (…, n_rows, n)
@@ -245,10 +243,10 @@ def resolve_collision(
     jminv_a = jminv_b = None  # (…, n_rows, n) rows of J M^-1
     if n_a:
         jminv_a = solve_a(j_a)
-        a_mat = a_mat + jnp.einsum("...rn,...sn->...rs", j_a, jminv_a)
+        a_mat = a_mat + sm.mmt(j_a, jminv_a)
     if n_b:
         jminv_b = solve_b(j_b)
-        a_mat = a_mat + jnp.einsum("...rn,...sn->...rs", j_b, jminv_b)
+        a_mat = a_mat + sm.mmt(j_b, jminv_b)
     a_mat = a_mat + params.cfm * jnp.eye(n_rows, dtype=dtype)
 
     big = 1e5
@@ -271,7 +269,7 @@ def resolve_collision(
     p = solve_pgs(a_mat, rhs, lo, hi, limit_dependency, x0, params.pgs_iterations)
 
     if n_a:
-        qd_a = qd_a + jnp.einsum("...rm,...r->...m", jminv_a, p)
+        qd_a = qd_a + sm.mtv(jminv_a, p)
     if n_b:
-        qd_b = qd_b - jnp.einsum("...rm,...r->...m", jminv_b, p)
+        qd_b = qd_b - sm.mtv(jminv_b, p)
     return qd_a, qd_b, p

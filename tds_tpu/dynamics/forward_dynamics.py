@@ -25,7 +25,7 @@ from typing import NamedTuple, Optional, Tuple
 
 import jax.numpy as jnp
 
-from tds_tpu.algebra import quaternion, spatial
+from tds_tpu.algebra import quaternion, smallmat as sm, spatial
 from tds_tpu.algebra.inertia import ArticulatedBodyInertia
 from tds_tpu.dynamics.kinematics import fk_links
 from tds_tpu.model.joints import JointType
@@ -71,7 +71,7 @@ def aba_factor(model: MultiBodyModel, kin) -> AbaFactor:
 
         if jt == JointType.SPHERICAL:
             u3 = abi[i].mul_matrix63(s)  # (…,6,3)
-            d3 = jnp.swapaxes(s, -1, -2) @ u3  # (…,3,3); S^T is static
+            d3 = sm.mtm(s, u3)  # (…,3,3); S^T is static
             from tds_tpu.algebra.linalg import inv3
 
             invd3 = inv3(d3)
@@ -160,11 +160,8 @@ def forward_dynamics_from_kin(
             tau_l = tau_l - model.stiffness[i] * axis_angle
             tau_l = tau_l - model.damping[i] * model.qd_for_link(qd, i)
             # u = tau - S^T pA ; S top is identity so S^T pA = pA.top
-            u3b = tau_l - jnp.einsum("...ji,...j->...i", s, p_a[i])
-            uud = _mat63_vec(
-                factor.u[i],
-                jnp.einsum("...ij,...j->...i", factor.d_inv[i], u3b),
-            )
+            u3b = tau_l - sm.mtv(s, p_a[i])
+            uud = _mat63_vec(factor.u[i], sm.mv(factor.d_inv[i], u3b))
             u_bias[i] = u3b
         else:
             tau_l = model.tau_for_link(tau, i)[..., 0]
@@ -199,10 +196,8 @@ def forward_dynamics_from_kin(
         ai = kin.x_parent[i].motion_to_child(a_parent) + kin.c[i]
         if jt == JointType.SPHERICAL:
             s = model.motion_subspace(i)
-            ut_a = jnp.einsum("...ji,...j->...i", factor.u[i], ai)
-            qdd_val = jnp.einsum(
-                "...ij,...j->...i", factor.d_inv[i], u_bias[i] - ut_a
-            )
+            ut_a = sm.mtv(factor.u[i], ai)
+            qdd_val = sm.mv(factor.d_inv[i], u_bias[i] - ut_a)
             off = model.qd_offsets[i]
             qdd = qdd.at[..., off : off + 3].set(qdd_val)
             ai = ai + _mat63_vec(s, qdd_val)
@@ -249,11 +244,8 @@ def minv_mul(model: MultiBodyModel, kin, factor: AbaFactor, x):
 
         if jt == JointType.SPHERICAL:
             x_l = x[..., off : off + 3]
-            u3b = x_l - jnp.einsum("...ji,...j->...i", s, p_a[i])
-            uud = _mat63_vec(
-                factor.u[i],
-                jnp.einsum("...ij,...j->...i", factor.d_inv[i], u3b),
-            )
+            u3b = x_l - sm.mtv(s, p_a[i])
+            uud = _mat63_vec(factor.u[i], sm.mv(factor.d_inv[i], u3b))
             u_bias[i] = u3b
         elif jt == JointType.FIXED:
             uud = 0.0
@@ -289,10 +281,8 @@ def minv_mul(model: MultiBodyModel, kin, factor: AbaFactor, x):
         ai = kin.x_parent[i].motion_to_child(a_parent)
         if jt == JointType.SPHERICAL:
             s = model.motion_subspace(i)
-            ut_a = jnp.einsum("...ji,...j->...i", factor.u[i], ai)
-            qdd_val = jnp.einsum(
-                "...ij,...j->...i", factor.d_inv[i], u_bias[i] - ut_a
-            )
+            ut_a = sm.mtv(factor.u[i], ai)
+            qdd_val = sm.mv(factor.d_inv[i], u_bias[i] - ut_a)
             off = model.qd_offsets[i]
             out = out.at[..., off : off + 3].set(qdd_val)
             ai = ai + _mat63_vec(s, qdd_val)
@@ -309,15 +299,11 @@ def minv_mul(model: MultiBodyModel, kin, factor: AbaFactor, x):
 def _abi_apply(abi: ArticulatedBodyInertia, f):
     """[[I, H], [H^T, M]] @ [n; f] for precomputed (inverse) ABI blocks."""
     n, lin = f[..., :3], f[..., 3:]
-    topv = jnp.einsum("...ij,...j->...i", abi.I, n) + jnp.einsum(
-        "...ij,...j->...i", abi.H, lin
-    )
-    botv = jnp.einsum("...ij,...j->...i", abi.M, lin) + jnp.einsum(
-        "...ji,...j->...i", abi.H, n
-    )
+    topv = sm.mv(abi.I, n) + sm.mv(abi.H, lin)
+    botv = sm.mv(abi.M, lin) + sm.mtv(abi.H, n)
     return spatial.mv(topv, botv)
 
 
 def _mat63_vec(m, v):
     """(…,6,3) @ (…,3) -> (…,6) spatial vector."""
-    return jnp.einsum("...ij,...j->...i", m, v)
+    return sm.mv(m, v)

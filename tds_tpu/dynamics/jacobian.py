@@ -8,6 +8,7 @@ the linear columns — world-frame base twist convention).
 import jax.numpy as jnp
 
 from tds_tpu.algebra import spatial
+from tds_tpu.algebra import smallmat as sm
 from tds_tpu.algebra.transform import Transform
 from tds_tpu.dynamics.kinematics import forward_kinematics_q
 from tds_tpu.model.joints import JointType
@@ -74,7 +75,7 @@ def point_jacobian_kin(
                 s = model.motion_subspace(i)  # (6,3)
                 st = x_frame.motion_matrix_to_parent(s)
                 top = st[..., 0:3, :]
-                bottom = st[..., 3:6, :] - spatial.cross_matrix(point) @ top
+                bottom = st[..., 3:6, :] - sm.mm(spatial.cross_matrix(point), top)
                 for c in range(3):
                     cols[model.qd_offsets[i] + c] = bottom[..., :, c]
             elif jt != JointType.FIXED:

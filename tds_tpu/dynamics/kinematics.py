@@ -12,6 +12,7 @@ from typing import NamedTuple, Optional, Tuple
 import jax.numpy as jnp
 
 from tds_tpu.algebra import quaternion, spatial
+from tds_tpu.algebra import smallmat as sm
 from tds_tpu.algebra.inertia import ArticulatedBodyInertia
 from tds_tpu.algebra.transform import Transform
 from tds_tpu.model.joints import JointType, jcalc_transform, jcalc_velocity
@@ -65,9 +66,9 @@ def fk_links(
         # gyroscopic bias force on the base (kinematics.hpp:54-61)
         w_world = base_velocity[..., 0:3]
         r = base_x_world.rot
-        inertia_world = r @ model.base_inertia @ jnp.swapaxes(r, -1, -2)
+        inertia_world = sm.mmt(sm.mm(r, model.base_inertia), r)
         gyro = jnp.cross(
-            w_world, jnp.einsum("...ij,...j->...i", inertia_world, w_world)
+            w_world, sm.mv(inertia_world, w_world)
         )
         base_bias = spatial.fv(gyro, jnp.zeros_like(gyro))
         if base_applied_force is not None:
