@@ -34,11 +34,21 @@ class ZmqConnection:
     def __init__(self, zmq_url: str = "tcp://127.0.0.1:6000", timeout_ms: int = 2000):
         import zmq
 
+        self.url = zmq_url
+        self.timeout_ms = timeout_ms
         self.ctx = zmq.Context.instance()
+        self.sock = None
+        self._connect()
+
+    def _connect(self):
+        import zmq
+
+        if self.sock is not None:
+            self.sock.close(linger=0)
         self.sock = self.ctx.socket(zmq.REQ)
-        self.sock.setsockopt(zmq.RCVTIMEO, timeout_ms)
-        self.sock.setsockopt(zmq.SNDTIMEO, timeout_ms)
-        self.sock.connect(zmq_url)
+        self.sock.setsockopt(zmq.RCVTIMEO, self.timeout_ms)
+        self.sock.setsockopt(zmq.SNDTIMEO, self.timeout_ms)
+        self.sock.connect(self.url)
 
     def send(self, cmd_type: str, path: str, payload: bytes):
         self.sock.send_multipart(
@@ -47,7 +57,10 @@ class ZmqConnection:
         try:
             self.sock.recv()
         except Exception:
-            pass
+            # A REQ socket that missed its reply refuses further sends
+            # (EFSM); reset it so a dead/slow server degrades to lossy
+            # streaming instead of crashing the caller.
+            self._connect()
 
 
 def _pack(cmd: dict) -> bytes:
