@@ -1,10 +1,19 @@
 """Pallas TPU kernel for the batched projected Gauss-Seidel sweep.
 
-Proof-of-concept for the round-2 "fused step kernel" direction: the PGS
-inner loop is sequential over constraint rows but embarrassingly parallel
-over environments — the ideal Pallas shape (batch tiles on the lane
-dimension, rows unrolled in-register). Semantically identical to
-tds_tpu.contact.mlcp.solve_pgs (impulse-coupled Coulomb bounds).
+The PGS inner loop is sequential over constraint rows but embarrassingly
+parallel over environments. The TPU-native layout puts the BATCH on the
+lane dimension (128-wide vector registers) and the constraint rows on
+sublanes: every quantity the kernel touches is a (1, block) lane vector,
+every index is a static sublane slice, and the Gauss-Seidel recurrence is
+pure dataflow — no scatter, no dynamic indexing, no 3D refs. (The round-1
+version tiled batch on sublanes / rows on lanes with a 3D A-ref; Mosaic
+hung compiling it. This 2D transposed form is the shape the compiler is
+built for.)
+
+Semantically identical to tds_tpu.contact.mlcp.solve_pgs (impulse-coupled
+Coulomb bounds, mb_constraint_solver.hpp:122-135). The wrapper takes the
+same (B, n, n)/(B, n) operands as the XLA path and transposes at the
+boundary; XLA fuses those transposes into the producers.
 
 Falls back to interpret mode off-TPU, so the correctness test runs in CI.
 """
@@ -28,30 +37,28 @@ except Exception:  # pragma: no cover
 
 def _pgs_kernel(a_ref, b_ref, lo_ref, hi_ref, x_ref, *, limit_dependency,
                 iterations):
-    # x kept as a Python list of (block, 1) columns: the Gauss-Seidel
-    # update is pure dataflow (TPU Pallas has no scatter lowering)
-    n = b_ref.shape[-1]
-    b = b_ref[:, :]
-    lo = lo_ref[:, :]
-    hi = hi_ref[:, :]
-    zero = jnp.zeros_like(b[:, 0:1])
-    x_cols = [zero] * n
+    # a_ref: (n*n, block) row-major A, b/lo/hi/x: (n, block).
+    # x is a Python list of (1, block) lane vectors; the sequential
+    # Gauss-Seidel dependency becomes register dataflow.
+    n = b_ref.shape[0]
+    zero = jnp.zeros_like(b_ref[0:1, :])
+    x_rows = [zero] * n
     for _ in range(iterations):
         for i in range(n):
-            row = a_ref[:, i, :]  # (block, n)
             delta = zero
             for j in range(n):
                 if j != i:
-                    delta = delta + row[:, j : j + 1] * x_cols[j]
-            xi = (b[:, i : i + 1] - delta) / row[:, i : i + 1]
+                    delta = delta + a_ref[i * n + j : i * n + j + 1, :] * x_rows[j]
+            xi = (b_ref[i : i + 1, :] - delta) / a_ref[i * n + i : i * n + i + 1, :]
             dep = limit_dependency[i]
             if dep >= 0:
-                s = jnp.maximum(x_cols[dep], 0.0)
+                s = jnp.maximum(x_rows[dep], 0.0)
             else:
                 s = jnp.ones_like(xi)
-            xi = jnp.clip(xi, lo[:, i : i + 1] * s, hi[:, i : i + 1] * s)
-            x_cols[i] = xi
-    x_ref[:, :] = jnp.concatenate(x_cols, axis=-1)
+            xi = jnp.clip(xi, lo_ref[i : i + 1, :] * s, hi_ref[i : i + 1, :] * s)
+            x_rows[i] = xi
+    for i in range(n):
+        x_ref[i : i + 1, :] = x_rows[i]
 
 
 def solve_pgs_pallas(
@@ -61,13 +68,14 @@ def solve_pgs_pallas(
     hi,
     limit_dependency: Sequence[int],
     iterations: int,
-    block_batch: int = 256,
+    block_batch: int = 512,
     interpret: bool = None,
 ):
     """Batched PGS: a_mat (B, n, n), b/lo/hi (B, n) -> x (B, n).
 
-    Batch is tiled across the Pallas grid; rows/iterations unroll inside
-    the kernel. ``interpret=None`` auto-selects interpret mode off-TPU.
+    Batch is tiled across the Pallas grid on the lane dimension;
+    rows/iterations unroll inside the kernel. ``interpret=None``
+    auto-selects interpret mode off-TPU.
     """
     bsz, n = b.shape
     if interpret is None:
@@ -84,6 +92,10 @@ def solve_pgs_pallas(
         hi = jnp.concatenate([hi, jnp.zeros((pad, n), hi.dtype)])
     padded = b.shape[0]
 
+    # boundary transposes into the lane-major layout
+    a_t = a_mat.reshape(padded, n * n).T  # (n*n, B)
+    b_t, lo_t, hi_t = b.T, lo.T, hi.T
+
     kernel = partial(
         _pgs_kernel,
         limit_dependency=tuple(limit_dependency),
@@ -93,20 +105,20 @@ def solve_pgs_pallas(
     if _VMEM is not None:
         kwargs = dict(
             in_specs=[
-                pl.BlockSpec((block, n, n), lambda i: (i, 0, 0), memory_space=_VMEM),
-                pl.BlockSpec((block, n), lambda i: (i, 0), memory_space=_VMEM),
-                pl.BlockSpec((block, n), lambda i: (i, 0), memory_space=_VMEM),
-                pl.BlockSpec((block, n), lambda i: (i, 0), memory_space=_VMEM),
+                pl.BlockSpec((n * n, block), lambda i: (0, i), memory_space=_VMEM),
+                pl.BlockSpec((n, block), lambda i: (0, i), memory_space=_VMEM),
+                pl.BlockSpec((n, block), lambda i: (0, i), memory_space=_VMEM),
+                pl.BlockSpec((n, block), lambda i: (0, i), memory_space=_VMEM),
             ],
             out_specs=pl.BlockSpec(
-                (block, n), lambda i: (i, 0), memory_space=_VMEM
+                (n, block), lambda i: (0, i), memory_space=_VMEM
             ),
         )
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((padded, n), b.dtype),
+        out_shape=jax.ShapeDtypeStruct((n, padded), b.dtype),
         grid=(padded // block,),
         interpret=interpret,
         **kwargs,
-    )(a_mat, b, lo, hi)
-    return out[:bsz]
+    )(a_t, b_t, lo_t, hi_t)
+    return out.T[:bsz]
