@@ -47,7 +47,27 @@ def main():
     qs = jnp.tile(q0[None, :], (batch, 1))
     qds = jnp.tile(qd0[None, :], (batch, 1))
 
-    # compile + warmup
+    # Staged warmup: compile the ABA subgraph first. The compile service
+    # caches lowered kernels per session, so warming the dynamics kernels
+    # with this subgraph cuts the full-step compile from 350-930s (measured,
+    # high variance) to ~16s; total cold wall ~2.5 min.
+    from tds_tpu.dynamics.forward_dynamics import forward_dynamics
+
+    model = env.model
+    gravity = jnp.asarray(env.gravity, jnp.float32)
+
+    @jax.jit
+    def _warm(q, qd):
+        return jax.vmap(
+            lambda a, b: forward_dynamics(
+                model, a, b, jnp.zeros(model.dof_qd, a.dtype), gravity
+            )
+        )(q, qd)
+
+    t0 = time.time()
+    jax.block_until_ready(_warm(qs, qds))
+    warm_s = time.time() - t0
+
     t0 = time.time()
     q_w, qd_w = step(qs, qds)
     jax.block_until_ready(q_w)
@@ -105,7 +125,8 @@ def main():
     print(json.dumps(result))
     print(
         f"# batch={batch} steps={inner_steps} best={best:.4f}s "
-        f"compile={compile_s:.1f}s finite={finite} device={jax.devices()[0]}",
+        f"compile={compile_s:.1f}s warmup_compile={warm_s:.1f}s "
+        f"finite={finite} device={jax.devices()[0]}",
         file=sys.stderr,
     )
     print(
