@@ -16,6 +16,20 @@ same (B, n, n)/(B, n) operands as the XLA path and transposes at the
 boundary; XLA fuses those transposes into the producers.
 
 Falls back to interpret mode off-TPU, so the correctness test runs in CI.
+
+STATUS on the axon-tunnel TPU backend (measured 2026-08-17, v5e):
+- round-1 layout (batch on sublanes, 3D A-ref): Mosaic compile hung
+  >9 min, twice.
+- this lane-major layout: compiles in 0.6s and dispatches, but
+  device-to-host readback of the kernel's output never completes
+  (reproduced twice; any later op touching the result also hangs, while
+  plain XLA programs in fresh processes are unaffected). Pallas execution
+  is broken in the experimental plugin, not in this kernel.
+- the XLA path it would replace runs the whole laikago step at 5.0M
+  env-steps/s with PGS a microsecond-scale slice of it, so this kernel
+  stays un-wired (contact/mlcp.py uses solve_pgs) until the backend's
+  Pallas support lands. Interpret-mode parity is kept under test
+  (tests/test_pallas_pgs.py) so the kernel is ready when it does.
 """
 
 from functools import partial
