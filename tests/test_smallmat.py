@@ -66,3 +66,18 @@ def test_gradients_match():
     g1 = jax.grad(lambda m: jnp.sum(sm.mv(m, v) ** 2))(a)
     g2 = jax.grad(lambda m: jnp.sum((m @ v) ** 2))(a)
     np.testing.assert_allclose(g1, g2, rtol=1e-12)
+
+
+def test_unrolled_branch_matches(monkeypatch):
+    """The scalar-expanded branch (used when _UNROLL_LIMIT is raised) must
+    agree with the broadcast+reduce default."""
+    import tds_tpu.algebra.smallmat as smod
+
+    a = _rand(KEYS[2], (4, 3, 3))
+    b = _rand(KEYS[3], (4, 3, 3))
+    v = _rand(KEYS[4], (4, 3))
+    base = (sm.mm(a, b), sm.mv(a, v), sm.mtv(a, v), sm.mtm(a, b), sm.mmt(a, b))
+    monkeypatch.setattr(smod, "_UNROLL_LIMIT", 64)
+    unrolled = (sm.mm(a, b), sm.mv(a, v), sm.mtv(a, v), sm.mtm(a, b), sm.mmt(a, b))
+    for x, y in zip(base, unrolled):
+        np.testing.assert_allclose(x, y, rtol=1e-12)
