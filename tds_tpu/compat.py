@@ -342,3 +342,359 @@ def VectorizedLaikagoEnv(num_envs: int = 128, auto_reset: bool = True, **kw):
 def fraction(n, d):
     """Scalar-trait constant constructor (tiny_double_utils.h fraction)."""
     return float(n) / float(d)
+
+
+# ---- scalar-trait math surface (pytinydiffsim.inl:676-686) ------------------
+def pi():
+    return float(np.pi)
+
+
+def copy(x):
+    """Value copy (inl:658); jnp arrays are immutable so + 0 suffices."""
+    return jnp.asarray(x) + 0
+
+
+def cos(x):
+    return jnp.cos(x)
+
+
+def sin(x):
+    return jnp.sin(x)
+
+
+def acos(x):
+    return jnp.arccos(x)
+
+
+def sqrt(x):
+    return jnp.sqrt(x)
+
+
+def max(a, b):  # noqa: A001 - name parity with the bindings
+    return jnp.maximum(a, b)
+
+
+def min(a, b):  # noqa: A001
+    return jnp.minimum(a, b)
+
+
+def clip(x, lo, hi):
+    return jnp.clip(x, lo, hi)
+
+
+def where_gt(a, b, if_true, if_false):
+    return jnp.where(a > b, if_true, if_false)
+
+
+def where_lt(a, b, if_true, if_false):
+    return jnp.where(a < b, if_true, if_false)
+
+
+def where_eq(a, b, if_true, if_false):
+    return jnp.where(a == b, if_true, if_false)
+
+
+def quat_difference(start, end):
+    """Shortest-arc difference quaternion start^-1 * end (inl:670)."""
+    start, end = jnp.asarray(start), jnp.asarray(end)
+    # pick the sign of `end` on the same hemisphere as `start`
+    end = jnp.where(jnp.sum(start * end, axis=-1, keepdims=True) < 0.0, -end, end)
+    return _quat.mul(_quat.conjugate(start), end)
+
+
+def quaternion_axis_angle(axis, angle):
+    """inl:671 Quaternion_Axis_Angle."""
+    return _quat.from_axis_angle(jnp.asarray(axis), jnp.asarray(angle))
+
+
+def matrix_to_euler_xyz(m):
+    """inl:673 analog (extrinsic xyz = rpy of the matrix)."""
+    m = jnp.asarray(m)
+    sy = jnp.sqrt(m[..., 0, 0] ** 2 + m[..., 1, 0] ** 2)
+    return jnp.stack(
+        [
+            jnp.arctan2(m[..., 2, 1], m[..., 2, 2]),
+            jnp.arctan2(-m[..., 2, 0], sy),
+            jnp.arctan2(m[..., 1, 0], m[..., 0, 0]),
+        ],
+        axis=-1,
+    )
+
+
+def quat_integrate(q, angular_velocity, dt):
+    """inl:666 MyQuatIntegrate."""
+    return _quat.integrate_world(jnp.asarray(q), jnp.asarray(angular_velocity), dt)
+
+
+def find_file(name):
+    """inl:669 MyFindFile via the bundled-data-first search order."""
+    from tds_tpu.utils.file_utils import find_file as _ff
+
+    return _ff(name)
+
+
+def forward_kinematics(mb: TinyMultiBody):
+    """inl:660: refresh world poses; returns (base_x_world, links_x_world)."""
+    from tds_tpu.dynamics.kinematics import forward_kinematics_q
+
+    base_x, links_x, _ = forward_kinematics_q(mb.model, mb.q)
+    return base_x, links_x
+
+
+def integrate_euler_qdd(mb: TinyMultiBody, dt):
+    """inl:663: velocity update from qdd only (position untouched)."""
+    from tds_tpu.dynamics.integrator import integrate_euler_qdd as _ieq
+
+    mb.qd = _ieq(mb.model, mb.q, mb.qd, mb.qdd, dt)
+
+
+def link_transform_base_frame(mb: TinyMultiBody, link_index: int):
+    """inl:668 MyGetLinkTransformInBase."""
+    from tds_tpu.dynamics.kinematics import forward_kinematics_q
+
+    base_x, links_x, _ = forward_kinematics_q(mb.model, mb.q)
+    return base_x.inverse().compose(links_x[link_index])
+
+
+def compute_inertia_dyad(mass, com, inertia_c):
+    """inl:664 MyComputeInertia -> RigidBodyInertia."""
+    from tds_tpu.algebra.inertia import RigidBodyInertia
+
+    return RigidBodyInertia.from_mass_com_inertia(
+        jnp.asarray(mass), jnp.asarray(com), jnp.asarray(inertia_c)
+    )
+
+
+# ---- contact-point classes (pytinydiffsim.inl:751-807) ----------------------
+class TinyContactPoint:
+    """Field-name-parity mutable record (ContactPoint, contact_point.hpp)."""
+
+    def __init__(self):
+        self.world_normal_on_b = jnp.zeros(3)
+        self.world_point_on_a = jnp.zeros(3)
+        self.world_point_on_b = jnp.zeros(3)
+        self.distance = 0.0
+        self.normal_force = 0.0
+        self.lateral_friction_force_1 = 0.0
+        self.lateral_friction_force_2 = 0.0
+        self.fr_direction_1 = jnp.zeros(3)
+        self.fr_direction_2 = jnp.zeros(3)
+
+
+class TinyContactPointRigidBody(TinyContactPoint):
+    """inl:773-787: contact between two TinyRigidBody instances."""
+
+    def __init__(self):
+        super().__init__()
+        self.rigid_body_a: Optional[TinyRigidBody] = None
+        self.rigid_body_b: Optional[TinyRigidBody] = None
+        self.restitution = 0.0
+        self.friction = 0.5
+
+
+class TinyContactPointMultiBody(TinyContactPoint):
+    """inl:789-807: contact between two TinyMultiBody instances."""
+
+    def __init__(self):
+        super().__init__()
+        self.multi_body_a: Optional[TinyMultiBody] = None
+        self.multi_body_b: Optional[TinyMultiBody] = None
+        self.restitution = 0.0
+        self.friction = 0.5
+        self.link_a = -1
+        self.link_b = -1
+
+
+# ---- constraint solvers (pytinydiffsim.inl:809-856) -------------------------
+class TinyConstraintSolver:
+    """Rigid-body sequential-impulse solver veneer (inl:809-813)."""
+
+    def resolve_collision(self, cp: TinyContactPointRigidBody, dt):
+        from tds_tpu import rigid_body as _rb
+
+        a, b = cp.rigid_body_a, cp.rigid_body_b
+        a.state, b.state = _rb.resolve_contact_sequential_impulse(
+            a.state,
+            a.params,
+            b.state,
+            b.params,
+            jnp.asarray(cp.world_normal_on_b),
+            jnp.asarray(cp.world_point_on_a),
+            jnp.asarray(cp.world_point_on_b),
+            jnp.asarray(cp.distance),
+            dt,
+            friction=cp.friction,
+            restitution=cp.restitution,
+        )
+
+
+def _mb_contact_batch(cps):
+    """Stack TinyContactPointMultiBody records into a ContactBatch."""
+    from tds_tpu.collision.narrowphase import Contact
+    from tds_tpu.contact.mlcp import ContactBatch
+
+    contact = Contact(
+        normal_on_b=jnp.stack([jnp.asarray(c.world_normal_on_b) for c in cps]),
+        point_a=jnp.stack([jnp.asarray(c.world_point_on_a) for c in cps]),
+        point_b=jnp.stack([jnp.asarray(c.world_point_on_b) for c in cps]),
+        distance=jnp.asarray([c.distance for c in cps]),
+    )
+    return ContactBatch(
+        contact=contact,
+        link_a=tuple(c.link_a for c in cps),
+        link_b=tuple(c.link_b for c in cps),
+        friction=jnp.asarray([c.friction for c in cps]),
+        restitution=jnp.asarray([c.restitution for c in cps]),
+    )
+
+
+class TinyMultiBodyConstraintSolver:
+    """MLCP/PGS solver with the bindings' parameter names (inl:815-822:
+    pgs_iterations_, keep_all_points_, cfm_, erp_)."""
+
+    def __init__(self):
+        self.pgs_iterations_ = 50
+        self.keep_all_points_ = False
+        self.cfm_ = 1e-5
+        self.erp_ = 0.2
+        self.num_friction_dir_ = 1
+
+    def _params(self):
+        from tds_tpu.contact.mlcp import ContactSolverParams as _P
+
+        # keep_all_points_ has no analog knob: the batched solver always
+        # emits every candidate row and masks non-penetrating ones, which is
+        # the keep_all_points_=True semantics with zero-force inactive rows.
+        return _P(
+            pgs_iterations=self.pgs_iterations_,
+            cfm=self.cfm_,
+            erp=self.erp_,
+            num_friction_dir=self.num_friction_dir_,
+        )
+
+    def resolve_collision(self, contact_points, dt):
+        """Applies contact impulses; writes back qd on both multibodies
+        (inl:819 resolve_collision2)."""
+        from tds_tpu.contact.mlcp import resolve_collision as _rc
+
+        if not contact_points:
+            return
+        cps = list(contact_points)
+        a, b = cps[0].multi_body_a, cps[0].multi_body_b
+        batch = _mb_contact_batch(cps)
+        qd_a, qd_b, _ = _rc(
+            a.model, a.q, a.qd, b.model, b.q, b.qd, batch, dt, self._params()
+        )
+        a.qd, b.qd = qd_a, qd_b
+
+
+class TinyMultiBodyConstraintSolverSpring:
+    """Spring/penalty solver with the bindings' parameter names
+    (inl:836-856; reference ships this surface behind `#if 0`)."""
+
+    def __init__(self):
+        self.spring_k = 5000.0
+        self.damper_d = 100.0
+        self.hard_contact_condition = True
+        self.exponent_n = 1.0
+        self.smoothing_method = 0
+        self.smooth_alpha_vel = 100.0
+        self.smooth_alpha_normal = -1.0
+        self.mu_static = 0.5
+        self.andersson_vs = 0.1
+        self.andersson_p = 1.0
+        self.andersson_ktanh = 10.0
+        self.v_transition = 0.01
+        self.friction_model = 0
+
+    def _params(self):
+        from tds_tpu.contact.spring import SpringContactParams as _P
+
+        return _P(
+            spring_k=self.spring_k,
+            damper_d=self.damper_d,
+            hard_contact_condition=self.hard_contact_condition,
+            exponent_n=self.exponent_n,
+            smoothing_method=self.smoothing_method,
+            smooth_alpha_vel=self.smooth_alpha_vel,
+            smooth_alpha_normal=self.smooth_alpha_normal,
+            mu_static=self.mu_static,
+            andersson_vs=self.andersson_vs,
+            andersson_p=self.andersson_p,
+            andersson_ktanh=self.andersson_ktanh,
+            v_transition=self.v_transition,
+            friction_model=self.friction_model,
+        )
+
+    def compute_contact_force(self, distance, vn):
+        from tds_tpu.contact.spring import compute_contact_force as _f
+
+        return _f(jnp.asarray(distance), jnp.asarray(vn), self._params())
+
+    def compute_friction_force(self, f_n, v_t):
+        from tds_tpu.contact.spring import compute_friction_force as _f
+
+        return _f(jnp.asarray(f_n), jnp.asarray(v_t), self._params())
+
+    def resolve_collision(self, contact_points, dt):
+        from tds_tpu.contact.spring import resolve_collision_spring as _rc
+
+        if not contact_points:
+            return
+        cps = list(contact_points)
+        a, b = cps[0].multi_body_a, cps[0].multi_body_b
+        batch = _mb_contact_batch(cps)
+        qd_a, qd_b, _ = _rc(
+            a.model, a.q, a.qd, b.model, b.q, b.qd, batch, dt, self._params()
+        )
+        a.qd, b.qd = qd_a, qd_b
+
+
+# ---- inverse kinematics (inl:667, pytinydiffsim_includes.h:325-341) ---------
+def inverse_kinematics_compat(mb: TinyMultiBody, target_link_index, target_point):
+    """MyInverseKinematics: damped-pinv IK toward one point target, seeded
+    at the body's current q (alpha=0.3, weight_reference=0 as in the
+    reference wrapper). Returns q_target without mutating the body."""
+    res = inverse_kinematics(
+        mb.model,
+        [IKTarget(int(target_link_index), jnp.asarray(target_point))],
+        mb.q,
+        method=IKMethod.DAMPED_LM,
+        alpha=0.3,
+        q_reference=mb.q,
+        q_reference_weight=0.0,
+    )
+    return res.q
+
+
+# ---- actuators (tiny_actuator.h; reference binds none — bonus surface) ------
+class TinyActuator:
+    """tiny_actuator.h:30-76: gear ratios + limits applied to u -> tau."""
+
+    def __init__(self, dof):
+        self.dof = dof
+        self.gear_ratios = jnp.ones(dof)
+        self.limits = jnp.full(dof, jnp.inf)
+
+    def compute_torques(self, u):
+        from tds_tpu.control.actuators import DirectActuator
+
+        act = DirectActuator(gear_ratios=self.gear_ratios, limits=self.limits)
+        tau, _ = act.compute_torques((), None, None, jnp.asarray(u))
+        return tau
+
+
+class TinyServoActuator:
+    """PD-servo actuator (control/actuators.py ServoActuator veneer)."""
+
+    def __init__(self, dof, kp=100.0, kd=2.0, min_force=-500.0, max_force=500.0):
+        from tds_tpu.control.actuators import ServoActuator as _S
+
+        self.dof = dof
+        self._act = _S(kp=kp, kd=kd, min_force=min_force, max_force=max_force)
+
+    def compute_torques(self, q, qd, target_positions):
+        tau, _ = self._act.compute_torques(
+            (), jnp.asarray(q), jnp.asarray(qd), jnp.asarray(target_positions)
+        )
+        return tau

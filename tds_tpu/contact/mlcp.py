@@ -239,14 +239,24 @@ def resolve_collision(
     j_b = stack_rows(sum((proj(jacs_b_n, d) for d in dirs), [])) if n_b else None
     rhs = jnp.stack(sum(rhs_blocks, []), axis=-1)  # (…, n_rows)
 
+    # Delassus product J (M^-1 J^T). smallmat's broadcast+reduce form
+    # materializes a (batch, n_rows, n_rows, n) intermediate — fine for the
+    # few-contact case it was tuned on, but O(n_rows^2 * n) HBM traffic once
+    # many contacts stack up. Above the threshold this is one large
+    # contraction, exactly what dot_general/the MXU is for.
+    def _delassus(j, jminv):
+        if n_rows > 16:
+            return jnp.einsum("...ik,...jk->...ij", j, jminv)
+        return sm.mmt(j, jminv)
+
     a_mat = jnp.zeros(bshape + (n_rows, n_rows), dtype=dtype)
     jminv_a = jminv_b = None  # (…, n_rows, n) rows of J M^-1
     if n_a:
         jminv_a = solve_a(j_a)
-        a_mat = a_mat + sm.mmt(j_a, jminv_a)
+        a_mat = a_mat + _delassus(j_a, jminv_a)
     if n_b:
         jminv_b = solve_b(j_b)
-        a_mat = a_mat + sm.mmt(j_b, jminv_b)
+        a_mat = a_mat + _delassus(j_b, jminv_b)
     a_mat = a_mat + params.cfm * jnp.eye(n_rows, dtype=dtype)
 
     big = 1e5

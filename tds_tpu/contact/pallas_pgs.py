@@ -94,7 +94,10 @@ def solve_pgs_pallas(
     bsz, n = b.shape
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    # Lane-dimension tiles must be a multiple of 128 for Mosaic; round the
+    # block up and pad the batch to match (identity rows are inert in PGS).
     block = min(block_batch, bsz)
+    block = max(128, -(-block // 128) * 128)
     if bsz % block != 0:
         # pad the batch to a block multiple
         pad = block - bsz % block

@@ -58,6 +58,9 @@ class LocomotionMpcConfig(NamedTuple):
     # window of 20 robot steps at 1 kHz is ~20 ms — keep the lag comparable
     # at the (slower) control rate.
     velocity_filter_window: int = 4
+    # seconds the gait clock advances per controller.update() call; must
+    # equal env.dt * control_every when driven by make_walk_step
+    control_dt: float = 0.001
 
 
 class LocomotionMpcState(NamedTuple):
@@ -259,14 +262,11 @@ class LocomotionMpcController:
         tau_full = jnp.clip(tau_full, -cfg.max_torque, cfg.max_torque)
 
         new_state = LocomotionMpcState(
-            time=state.time + self._control_dt,
+            time=state.time + self.config.control_dt,
             swing=swing,
             vel_filter=vel_filter,
         )
         return new_state, tau_full[..., 6:]
-
-    # control tick length; set by make_walk_step
-    _control_dt = 0.001
 
 
 def make_walk_step(
@@ -277,7 +277,9 @@ def make_walk_step(
     loop of laikago_tds_mpc.cpp with MPC at 1/control_every of the physics
     rate."""
     model = env.model
-    controller._control_dt = float(env.dt) * control_every
+    tick_dt = float(env.dt) * control_every
+    if abs(tick_dt - controller.config.control_dt) > 1e-12:
+        controller.config = controller.config._replace(control_dt=tick_dt)
 
     def tick(carry):
         ctrl, q, qd = carry

@@ -21,6 +21,23 @@ import numpy as np
 from jax.sharding import Mesh
 
 
+def _already_initialized() -> bool:
+    """True if jax.distributed.initialize() has already run.
+
+    Prefers the public jax.distributed.is_initialized() (added in newer JAX
+    releases); falls back to probing the private global_state, degrading to
+    False if internals moved so a rename can't break startup.
+    """
+    if hasattr(jax.distributed, "is_initialized"):
+        return bool(jax.distributed.is_initialized())
+    try:
+        from jax._src import distributed as _jd
+
+        return getattr(_jd.global_state, "client", None) is not None
+    except Exception:
+        return False
+
+
 def initialize_distributed(
     coordinator_address: Optional[str] = None,
     num_processes: Optional[int] = None,
@@ -31,10 +48,8 @@ def initialize_distributed(
     JAX_NUM_PROCESSES / JAX_PROCESS_ID."""
     # NB: don't probe jax.process_count() here — it would initialize the
     # XLA backend, after which jax.distributed.initialize() refuses to run.
-    from jax._src import distributed as _jd
-
-    if getattr(_jd.global_state, "client", None) is not None:
-        return  # already initialized
+    if _already_initialized():
+        return
     kwargs = {}
     addr = coordinator_address or os.environ.get("JAX_COORDINATOR_ADDRESS")
     explicit = addr is not None

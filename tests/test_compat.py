@@ -114,3 +114,130 @@ def test_extended_binding_surface():
     assert np.all(np.isfinite(np.asarray(obs)))
 
     assert pd.fraction(1, 2) == 0.5
+
+def test_round3_binding_surface():
+    """Round-3 widening: contact-point classes, constraint-solver objects
+    with reference parameter names, IK binding, actuators, scalar math
+    (pytinydiffsim.inl:657-686,751-856)."""
+    from tds_tpu import compat as pd
+
+    # scalar-trait math
+    assert pd.pi() == pytest.approx(np.pi)
+    assert float(pd.max(1.0, 2.0)) == 2.0
+    assert float(pd.min(1.0, 2.0)) == 1.0
+    assert float(pd.clip(3.0, 0.0, 2.0)) == 2.0
+    assert float(pd.where_gt(2.0, 1.0, 5.0, 6.0)) == 5.0
+    assert float(pd.where_lt(2.0, 1.0, 5.0, 6.0)) == 6.0
+    assert float(pd.where_eq(1.0, 1.0, 5.0, 6.0)) == 5.0
+    assert float(pd.sqrt(4.0)) == 2.0
+    assert float(pd.copy(jnp.asarray(2.0))) == 2.0
+
+    # quaternion helpers
+    qa = pd.quaternion_axis_angle([0.0, 0.0, 1.0], 0.5)
+    qb = pd.quaternion_axis_angle([0.0, 0.0, 1.0], 0.7)
+    dq = pd.quat_difference(qa, qb)
+    ang = 2.0 * np.arccos(np.clip(float(dq[3]), -1, 1))
+    assert ang == pytest.approx(0.2, abs=1e-6)
+    m = pd.quat_to_matrix(qa)
+    np.testing.assert_allclose(pd.matrix_to_euler_xyz(m), [0.0, 0.0, 0.5], atol=1e-7)
+    qi = pd.quat_integrate(pd.Quaternion(), [0.0, 0.0, 1.0], 0.01)
+    assert np.isfinite(np.asarray(qi)).all()
+
+    # inertia dyad
+    dyad = pd.compute_inertia_dyad(1.5, [0.0, 0.0, 0.1], 0.02 * np.eye(3))
+    assert float(dyad.mass) == pytest.approx(1.5)
+
+    # find_file resolves a bundled asset
+    path = pd.find_file("laikago/laikago_toes_zup.urdf")
+    assert path
+
+    # multibody free functions round trip
+    from tds_tpu.model.pendulum import compound_pendulum
+
+    mb = pd.TinyMultiBody(compound_pendulum(2))
+    mb.set_q(jnp.array([0.4, -0.1]))
+    base_x, links_x = pd.forward_kinematics(mb)
+    x_in_base = pd.link_transform_base_frame(mb, 1)
+    assert np.isfinite(np.asarray(x_in_base.pos)).all()
+    mb.qdd = jnp.array([1.0, -1.0])
+    qd0 = mb.qd
+    pd.integrate_euler_qdd(mb, 0.01)
+    np.testing.assert_allclose(mb.qd - qd0, [0.01, -0.01], atol=1e-12)
+
+    # IK binding: reach for a point near the tip's current position
+    from tds_tpu.dynamics.kinematics import forward_kinematics_q
+
+    _, lx, _ = forward_kinematics_q(mb.model, mb.q)
+    target = np.asarray(lx[1].pos) + [0.01, 0.0, 0.01]
+    q_target = pd.inverse_kinematics_compat(mb, 1, target)
+    assert q_target.shape == mb.q.shape
+    _, lx2, _ = forward_kinematics_q(mb.model, jnp.asarray(q_target))
+    d_new = np.linalg.norm(np.asarray(lx2[1].pos) - target)
+    d_old = np.linalg.norm(np.asarray(lx[1].pos) - target)
+    assert d_new < d_old
+
+    # actuators
+    act = pd.TinyActuator(2)
+    act.gear_ratios = jnp.asarray([2.0, 2.0])
+    act.limits = jnp.asarray([0.4, 0.4])
+    np.testing.assert_allclose(act.compute_torques([1.0, 0.2]), [0.4, 0.1])
+    servo = pd.TinyServoActuator(2, kp=10.0, kd=1.0)
+    tau = servo.compute_torques([0.0, 0.0], [0.0, 0.0], [0.1, -0.1])
+    np.testing.assert_allclose(tau, [1.0, -1.0], atol=1e-12)
+
+
+def test_round3_contact_solver_bindings():
+    """TinyContactPoint* + solver objects resolve a penetrating contact."""
+    from tds_tpu import compat as pd
+
+    # rigid-body pair: sphere resting into a heavy static "floor" body
+    a = pd.TinyRigidBody(1.0, position=(0.0, 0.0, 0.45))
+    a.state = a.state.replace(linear_velocity=jnp.asarray([0.0, 0.0, -1.0]))
+    b = pd.TinyRigidBody(1e12, position=(0.0, 0.0, 0.0))
+    cp = pd.TinyContactPointRigidBody()
+    cp.rigid_body_a, cp.rigid_body_b = a, b
+    cp.world_normal_on_b = jnp.asarray([0.0, 0.0, 1.0])
+    cp.world_point_on_a = jnp.asarray([0.0, 0.0, -0.05])
+    cp.world_point_on_b = jnp.asarray([0.0, 0.0, 0.0])
+    cp.distance = -0.05
+    solver = pd.TinyConstraintSolver()
+    solver.resolve_collision(cp, 0.01)
+    assert float(a.state.linear_velocity[2]) > -1e-6  # approach cancelled
+
+    # multibody vs static plane through the MLCP solver object
+    text = """
+    <robot name="ball">
+      <link name="base">
+        <inertial><mass value="1"/><inertia ixx="0.1" iyy="0.1" izz="0.1"/></inertial>
+        <collision><geometry><sphere radius="0.5"/></geometry></collision>
+      </link>
+    </robot>
+    """
+    mb = pd.UrdfParser.load_urdf_from_string(text, is_floating=True)
+    mb.set_q(mb.q.at[6].set(0.45))
+    mb.set_qd(mb.qd.at[5].set(-1.0))  # falling
+    plane = pd.UrdfParser.load_urdf_from_string(
+        """
+        <robot name="plane"><link name="base">
+        <collision><geometry><plane normal="0 0 1"/></geometry></collision>
+        </link></robot>
+        """
+    )
+    mcp = pd.TinyContactPointMultiBody()
+    mcp.multi_body_a, mcp.multi_body_b = mb, plane
+    mcp.world_normal_on_b = jnp.asarray([0.0, 0.0, 1.0])
+    mcp.world_point_on_a = jnp.asarray([0.0, 0.0, -0.05])
+    mcp.world_point_on_b = jnp.asarray([0.0, 0.0, 0.0])
+    mcp.distance = -0.05
+    mcp.link_a, mcp.link_b = -1, -1  # base-attached geometry on both
+    msolver = pd.TinyMultiBodyConstraintSolver()
+    msolver.pgs_iterations_ = 30
+    msolver.resolve_collision([mcp], 0.01)
+    assert float(mb.qd[5]) > -1e-6  # normal velocity resolved
+
+    # spring solver object: force laws behave sanely
+    ssolver = pd.TinyMultiBodyConstraintSolverSpring()
+    fn = ssolver.compute_contact_force(-0.01, -0.1)
+    assert float(fn) > 0.0
+    ft = ssolver.compute_friction_force(jnp.asarray(10.0), jnp.asarray([0.2, 0.0]))
+    assert np.isfinite(np.asarray(ft)).all()
