@@ -12,9 +12,6 @@ Run: PYTHONPATH=. python examples/laikago_mpc_stand.py [--steps 500]
 import argparse
 
 import jax
-
-jax.config.update("jax_enable_x64", False)
-
 import jax.numpy as jnp
 import numpy as np
 
@@ -25,6 +22,9 @@ from tds_tpu.envs.laikago import LaikagoEnv
 
 
 def main():
+    # f32 demo precision; set inside main so importing this module
+    # never mutates global JAX config (see laikago_mpc_walk.py)
+    jax.config.update("jax_enable_x64", False)
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=300)
     args = ap.parse_args()

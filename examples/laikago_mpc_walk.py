@@ -9,9 +9,6 @@ Run: PYTHONPATH=. python examples/laikago_mpc_walk.py [--seconds 4]
 import argparse
 
 import jax
-
-jax.config.update("jax_enable_x64", False)
-
 import jax.numpy as jnp
 
 from tds_tpu.control.mpc.convex_mpc import MpcConfig
@@ -53,6 +50,10 @@ def build(desired_speed=(0.4, 0.0, 0.0), dtype=jnp.float32):
 
 
 def main():
+    # f32 is plenty for the demo and halves compile time. Set here, NOT at
+    # import time: the test suite imports build() and a module-level flip
+    # would silently downgrade every later test in the same process.
+    jax.config.update("jax_enable_x64", False)
     ap = argparse.ArgumentParser()
     ap.add_argument("--seconds", type=float, default=4.0)
     ap.add_argument("--speed", type=float, default=0.4)

@@ -134,6 +134,26 @@ class ArticulatedBodyInertia(NamedTuple):
             M=s_inv,
         )
 
+    def inverse_reference_quirk(self):
+        """The reference's block inverse EXACTLY as shipped
+        (inertia.hpp:302-319): it sets C = -H where the true lower-left
+        block is H^T, which is wrong once H loses skew-symmetry (the
+        articulated base inertia). Kept verbatim so floating-base
+        trajectories can be replayed bit-compatibly against reference
+        goldens; see :meth:`inverse` for the corrected math."""
+        from tds_tpu.algebra.linalg import inv3
+
+        a_inv = inv3(self.I)
+        h = self.H
+        # S = M - C A^-1 B with C = -H  =>  M + H A^-1 H
+        s_inv = inv3(self.M + sm.mm(h, sm.mm(a_inv, h)))
+        ainv_h_sinv = sm.mm(sm.mm(a_inv, h), s_inv)
+        return ArticulatedBodyInertia(
+            I=a_inv - sm.mm(ainv_h_sinv, sm.mm(h, a_inv)),
+            H=-ainv_h_sinv,
+            M=s_inv,
+        )
+
     def inv_mul(self, f):
         """Solve Ia * a = f for a motion vector a."""
         inv = self.inverse()

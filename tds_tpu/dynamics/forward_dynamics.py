@@ -21,6 +21,7 @@ reference contact solver's dense CRBA + matrix inverse
 operational-space-inertia propagation.
 """
 
+from contextlib import contextmanager
 from typing import NamedTuple, Optional, Tuple
 
 import jax.numpy as jnp
@@ -30,6 +31,27 @@ from tds_tpu.algebra.inertia import ArticulatedBodyInertia
 from tds_tpu.dynamics.kinematics import fk_links
 from tds_tpu.model.joints import JointType
 from tds_tpu.model.multibody import MultiBodyModel
+
+
+# Trace-time switch: when True, the floating-base ABI is inverted with the
+# reference's shipped (incorrect, C=-H) block formula instead of the proper
+# Schur complement — for bit-compatible replay of reference floating-base
+# trajectories (inertia.hpp:302-319; the reference's own rbdl_convention
+# branch avoids the bug). Use via reference_base_abi_quirk().
+_BASE_ABI_QUIRK = False
+
+
+@contextmanager
+def reference_base_abi_quirk():
+    """Within this context, newly traced floating-base dynamics reproduce
+    the reference's default forward_dynamics (buggy base-ABI inverse)."""
+    global _BASE_ABI_QUIRK
+    prev = _BASE_ABI_QUIRK
+    _BASE_ABI_QUIRK = True
+    try:
+        yield
+    finally:
+        _BASE_ABI_QUIRK = prev
 
 
 class AbaFactor(NamedTuple):
@@ -48,6 +70,12 @@ class AbaFactor(NamedTuple):
     ia: Tuple
     base_abi: Optional[ArticulatedBodyInertia]
     base_abi_inv: Optional[ArticulatedBodyInertia]
+    # inverse used by the ABA base solve specifically. Normally the same
+    # object as base_abi_inv; under reference_base_abi_quirk() it is the
+    # reference's shipped (buggy) block inverse, while base_abi_inv stays
+    # correct — matching the reference, whose constraint solver inverts the
+    # (correct) CRBA mass matrix even though its ABA base solve is buggy.
+    base_abi_inv_aba: Optional[ArticulatedBodyInertia] = None
 
 
 def aba_factor(model: MultiBodyModel, kin) -> AbaFactor:
@@ -96,13 +124,20 @@ def aba_factor(model: MultiBodyModel, kin) -> AbaFactor:
         elif model.is_floating:
             base_abi = base_abi + delta_i
 
-    base_abi_inv = base_abi.inverse() if model.is_floating else None
+    if model.is_floating:
+        base_abi_inv = base_abi.inverse()
+        base_abi_inv_aba = (
+            base_abi.inverse_reference_quirk() if _BASE_ABI_QUIRK else base_abi_inv
+        )
+    else:
+        base_abi_inv = base_abi_inv_aba = None
     return AbaFactor(
         u=tuple(u_terms),
         d_inv=tuple(d_inv),
         ia=tuple(ia_list),
         base_abi=base_abi,
         base_abi_inv=base_abi_inv,
+        base_abi_inv_aba=base_abi_inv_aba,
     )
 
 
@@ -181,7 +216,12 @@ def forward_dynamics_from_kin(
 
     # ---- base acceleration (forward_dynamics.hpp:218-243) ------------------
     if model.is_floating:
-        base_acc = -_abi_apply(factor.base_abi_inv, base_bias)
+        inv = (
+            factor.base_abi_inv_aba
+            if factor.base_abi_inv_aba is not None
+            else factor.base_abi_inv
+        )
+        base_acc = -_abi_apply(inv, base_bias)
     else:
         base_acc = -spatial_gravity
 

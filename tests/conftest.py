@@ -26,13 +26,18 @@ jax.config.update("jax_enable_x64", True)
 
 @pytest.fixture(autouse=True, scope="module")
 def _clear_jax_caches_between_modules():
-    """Release compiled executables after each test module.
+    """Release compiled executables and restore global config per module.
 
-    The full suite compiles many hundreds of distinct XLA CPU programs; with
-    all of them held live in one process, jaxlib 0.9.0's CPU client
-    eventually SIGSEGVs inside backend_compile_and_load (reproduced twice at
-    ~38% of the suite). Dropping the pjit/compile caches between modules
-    keeps the live-executable population bounded at one module's worth.
+    - The full suite compiles many hundreds of distinct XLA CPU programs;
+      with all of them held live in one process, jaxlib 0.9.0's CPU client
+      eventually SIGSEGVs inside backend_compile_and_load (reproduced twice
+      at ~38% of the suite before round 3). Dropping the pjit/compile
+      caches between modules bounds the live-executable population.
+    - x64 is re-asserted so a test that imports code flipping global JAX
+      config (the round-2 laikago_mpc_walk example did this at import time)
+      cannot silently downgrade every later module to f32.
     """
     yield
     jax.clear_caches()
+    if not jax.config.jax_enable_x64:
+        jax.config.update("jax_enable_x64", True)

@@ -123,6 +123,190 @@ static std::string read_file(const std::string& path) {
   return std::string(std::istreambuf_iterator<char>(f), {});
 }
 
+// ---- random-configuration ABA+CRBA sweep -----------------------------------
+// The reference validates against RBDL over 200 random configurations per
+// robot (test_rbdl.cpp:107-300); this emits the same style of per-call
+// oracle from the reference's own algorithms, incl. floating (quaternion)
+// bases, for parity tests at scale.
+static void random_dynamics_sweep(const char* urdf_path, const char* out_path,
+                                  int n_cases, bool floating,
+                                  unsigned long long seed, double q_scale,
+                                  double qd_scale, int mm_every) {
+  tds::World<Algebra> world;
+  tds::NullLogger logger;
+  tds::UrdfStructures<Algebra> urdf;
+  int flags = 0;
+  std::string text = read_file(urdf_path);
+  if (!tds::UrdfParser<Algebra>::load_urdf_from_string(text, flags, logger,
+                                                       urdf)) {
+    printf("skipping %s (parse failed)\n", out_path);
+    return;
+  }
+  tds::MultiBody<Algebra>* mb = world.create_multi_body("robot");
+  tds::UrdfToMultiBody<Algebra>::convert_to_multi_body(urdf, world, *mb, 0);
+  if (floating) mb->set_floating_base(true);
+  mb->initialize();
+
+  int n = mb->dof();
+  int nd = mb->dof_qd();
+  unsigned long long s = seed;
+  auto rnd = [&s]() {
+    s = s * 6364136223846793005ULL + 1442695040888963407ULL;
+    return ((double)((s >> 33) & 0x7fffffff) / (double)0x40000000) - 1.0;
+  };
+  Vector3 gravity(0., 0., -9.81);
+
+  FILE* out = fopen(out_path, "w");
+  fprintf(out, "{\"dof\": %d, \"dof_qd\": %d, \"floating\": %s, \"cases\": [",
+          n, nd, floating ? "true" : "false");
+  for (int c = 0; c < n_cases; ++c) {
+    for (int i = 0; i < n; ++i) mb->q(i) = q_scale * rnd();
+    if (floating) {
+      // base quaternion (q0..q3, xyzw) normalized, base position q4..q6
+      double nq = 0;
+      for (int k = 0; k < 4; ++k) nq += mb->q(k) * mb->q(k);
+      nq = std::sqrt(nq);
+      if (nq < 1e-9) { mb->q(3) = 1.0; nq = 1.0; }
+      for (int k = 0; k < 4; ++k) mb->q(k) /= nq;
+    }
+    for (const auto& link : *mb) {
+      if (link.joint_type == tds::JOINT_SPHERICAL) {
+        int qi = link.q_index;
+        double nq = 0;
+        for (int k = 0; k < 4; ++k) nq += mb->q(qi + k) * mb->q(qi + k);
+        nq = std::sqrt(nq);
+        if (nq < 1e-9) { mb->q(qi + 3) = 1.0; nq = 1.0; }
+        for (int k = 0; k < 4; ++k) mb->q(qi + k) /= nq;
+      }
+    }
+    for (int i = 0; i < nd; ++i) mb->qd(i) = qd_scale * rnd();
+    for (int i = 0; i < mb->dof_actuated(); ++i) mb->tau(i) = rnd();
+    VectorX q = mb->q(), qd = mb->qd(), tau = mb->tau();
+    tds::forward_dynamics(*mb, gravity);
+    fprintf(out, "%s{\"q\": ", c ? "," : "");
+    dump_vec(out, q);
+    fprintf(out, ", \"qd\": ");
+    dump_vec(out, qd);
+    fprintf(out, ", \"tau\": ");
+    dump_vec(out, tau);
+    fprintf(out, ", \"qdd\": ");
+    dump_vec(out, mb->qdd());
+    if (floating) {
+      // The default floating-base ABA above uses the reference's buggy
+      // base-ABI block inverse (inertia.hpp:302-319, C=-H). Also emit the
+      // rbdl_convention branch, whose dense 6x6 inverse is mathematically
+      // correct (forward_dynamics.hpp:228-230), as the correct-math oracle
+      // (output is in RBDL's hybrid acceleration convention).
+      mb->q() = q; mb->qd() = qd; mb->tau() = tau;
+      tds::forward_dynamics(*mb, gravity, /*rbdl_convention=*/true);
+      fprintf(out, ", \"qdd_rbdl\": ");
+      dump_vec(out, mb->qdd());
+    }
+    if (mm_every > 0 && c % mm_every == 0) {
+      typename Algebra::MatrixX M(nd, nd);
+      tds::mass_matrix(*mb, q, &M);
+      fprintf(out, ", \"mass_matrix\": [");
+      for (int i = 0; i < nd; ++i) {
+        fprintf(out, "%s[", i ? "," : "");
+        for (int j = 0; j < nd; ++j)
+          fprintf(out, "%s%.17g", j ? "," : "", M(i, j));
+        fprintf(out, "]");
+      }
+      fprintf(out, "]");
+    }
+    fprintf(out, "}");
+  }
+  fprintf(out, "]}\n");
+  fclose(out);
+  printf("wrote %s (%d cases)\n", out_path, n_cases);
+}
+
+// ---- floating-base (quaternion) robot on plane through the MLCP ------------
+// Same env-loop ordering as pd_locomotion_golden, but with a true floating
+// base: q(0..3) base quaternion xyzw, q(4..6) base position, PD joints
+// after; tau index = qd_index - 6 (multi_body.hpp:557-570).
+static void pd_floating_locomotion_golden(
+    const char* urdf_path, const char* out_path,
+    const std::vector<double>& poses, double kp, double kd, double max_force,
+    double start_z, double dt, int steps, int snap_every) {
+  tds::World<Algebra> world;
+  tds::NullLogger logger;
+  int flags = 0;
+
+  tds::UrdfStructures<Algebra> plane_urdf;
+  std::string plane_text = read_file("/root/reference/data/plane_implicit.urdf");
+  tds::UrdfParser<Algebra>::load_urdf_from_string(plane_text, flags, logger,
+                                                  plane_urdf);
+  tds::MultiBody<Algebra>* plane_mb = world.create_multi_body("plane");
+  tds::UrdfToMultiBody<Algebra>::convert_to_multi_body(plane_urdf, world,
+                                                       *plane_mb, 0);
+  plane_mb->initialize();
+
+  tds::UrdfStructures<Algebra> urdf;
+  std::string text = read_file(urdf_path);
+  if (!tds::UrdfParser<Algebra>::load_urdf_from_string(text, flags, logger,
+                                                       urdf)) {
+    printf("skipping %s (parse failed)\n", out_path);
+    return;
+  }
+  tds::MultiBody<Algebra>* mb = world.create_multi_body("robot");
+  tds::UrdfToMultiBody<Algebra>::convert_to_multi_body(urdf, world, *mb, 0);
+  mb->set_floating_base(true);
+  mb->initialize();
+
+  for (int i = 0; i < mb->dof(); ++i) mb->q(i) = 0.0;
+  for (int i = 0; i < mb->dof_qd(); ++i) mb->qd(i) = 0.0;
+  mb->q(3) = 1.0;      // identity base quaternion (xyzw)
+  mb->q(6) = start_z;  // base height
+  {
+    size_t pose_index = 0;
+    for (const auto& link : *mb) {
+      if (link.joint_type != tds::JOINT_FIXED && pose_index < poses.size()) {
+        mb->q(link.q_index) = poses[pose_index++];
+      }
+    }
+  }
+
+  Vector3 gravity(0., 0., -9.81);
+  world.set_gravity(gravity);
+
+  FILE* out = fopen(out_path, "w");
+  fprintf(out, "{\"dt\": %.17g, \"kp\": %g, \"kd\": %g, \"max_force\": %g,"
+               " \"floating\": true, \"snapshots\": {", dt, kp, kd, max_force);
+  bool first = true;
+  for (int t = 0; t <= steps; ++t) {
+    if (t % snap_every == 0) {
+      fprintf(out, "%s\"%d\": {\"q\": ", first ? "" : ",", t);
+      dump_vec(out, mb->q());
+      fprintf(out, ", \"qd\": ");
+      dump_vec(out, mb->qd());
+      fprintf(out, "}");
+      first = false;
+    }
+    if (t == steps) break;
+    size_t pose_index = 0;
+    for (int i = 0; i < mb->dof_actuated(); ++i) mb->tau(i) = 0.0;
+    for (const auto& link : *mb) {
+      if (link.joint_type != tds::JOINT_FIXED && pose_index < poses.size()) {
+        double err = poses[pose_index] - mb->q(link.q_index);
+        double force = kp * err - kd * mb->qd(link.qd_index);
+        if (force > max_force) force = max_force;
+        if (force < -max_force) force = -max_force;
+        mb->tau(link.qd_index - 6) = force;
+        ++pose_index;
+      }
+    }
+    tds::forward_dynamics(*mb, gravity);
+    mb->clear_forces();
+    tds::integrate_euler_qdd(*mb, dt);
+    world.step(dt);
+    tds::integrate_euler(*mb, dt);
+  }
+  fprintf(out, "}}\n");
+  fclose(out);
+  printf("wrote %s\n", out_path);
+}
+
 static void dump_vec(FILE* out, const VectorX& v) {
   fprintf(out, "[");
   for (int i = 0; i < Algebra::size(v); ++i)
@@ -369,6 +553,28 @@ int main(int argc, char** argv) {
       "tests/golden/ant_pd_contact_trajectory.json",
       {0.0, -0.5, 0.0, -0.5, 0.0, -0.5, 0.0, -0.5},
       15.0, 0.3, 3.0, /*start_z=*/0.48, /*dt=*/0.01, /*steps=*/500,
+      /*snap_every=*/50);
+
+  // ---- case 6: random-config ABA+CRBA sweeps (test_rbdl.cpp scale) --------
+  random_dynamics_sweep("/root/reference/data/gym/ant_org_xyz_xyzrot.urdf",
+                        "tests/golden/ant_random_sweep.json",
+                        /*n_cases=*/150, /*floating=*/false, /*seed=*/2024,
+                        /*q_scale=*/0.5, /*qd_scale=*/0.6, /*mm_every=*/15);
+  random_dynamics_sweep("/root/reference/data/laikago/laikago_toes_zup.urdf",
+                        "tests/golden/laikago_floating_random_sweep.json",
+                        /*n_cases=*/150, /*floating=*/true, /*seed=*/4711,
+                        /*q_scale=*/0.5, /*qd_scale=*/0.6, /*mm_every=*/15);
+  random_dynamics_sweep("/root/reference/data/humanoid_xyz_spherical.urdf",
+                        "tests/golden/humanoid_spherical_random_sweep.json",
+                        /*n_cases=*/100, /*floating=*/false, /*seed=*/999,
+                        /*q_scale=*/0.4, /*qd_scale=*/0.5, /*mm_every=*/0);
+
+  // ---- case 7: floating-base (quaternion) laikago through the MLCP --------
+  pd_floating_locomotion_golden(
+      "/root/reference/data/laikago/laikago_toes_zup.urdf",
+      "tests/golden/laikago_floating_contact_trajectory.json",
+      {0.2, 0.0, -0.7, 0.2, 0.0, -0.7, 0.2, 0.0, -0.7, 0.2, 0.0, -0.7},
+      100.0, 2.0, 50.0, /*start_z=*/0.48, /*dt=*/1e-3, /*steps=*/500,
       /*snap_every=*/50);
   return 0;
 }
