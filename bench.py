@@ -68,7 +68,10 @@ def main():
     jax.block_until_ready(_warm(qs, qds))
     warm_s = time.time() - t0
 
+    # AOT-compile once; the compiled object is reused for timing AND for
+    # XLA's cost analysis (a second jit trace would recompile server-side).
     t0 = time.time()
+    step = step.lower(qs, qds).compile()
     q_w, qd_w = step(qs, qds)
     jax.block_until_ready(q_w)
     compile_s = time.time() - t0
@@ -85,6 +88,52 @@ def main():
 
     finite = bool(jnp.all(jnp.isfinite(out_q)))
     steps_per_s = batch * inner_steps / best
+
+    # ---- roofline accounting -----------------------------------------------
+    # XLA's own cost model for the compiled step: FLOPs and HBM bytes per
+    # launch. v5e peaks: 819 GB/s HBM; 197 TFLOP/s bf16 MXU (this workload
+    # is f32 VPU-dominated small-matrix math, so HBM %-of-peak is the
+    # meaningful ceiling; TFLOP/s is reported against the bf16 MXU peak for
+    # honesty about how far from the matmul roof a physics step sits).
+    HBM_PEAK_GBS = 819.0
+    MXU_PEAK_TFLOPS = 197.0
+
+    # NB: no measured-bandwidth anchor. Micro-timing single kernels through
+    # the axon tunnel is unreliable: block_until_ready returns early for
+    # loop-carrying programs (10 chained 4096^3 matmuls "measured" at 2255
+    # TFLOP/s, >2x any TPU's peak) while forcing a value readback adds a
+    # fixed ~37 ms RTT that swamps sub-ms kernels (measured 2026-08-17).
+    # The steps/s headline uses 100 dependency-chained dispatches, which
+    # cross-checks against end-to-end ARS training wall-clock; the roofline
+    # fields below come from XLA's cost model with the spec-sheet peak.
+    flops_per_step = bytes_per_step = None
+    try:
+        ca = step.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        launch_flops = float(ca.get("flops", 0.0))
+        launch_bytes = float(ca.get("bytes accessed", 0.0))
+        flops_per_step = launch_flops / batch
+        bytes_per_step = launch_bytes / batch
+    except Exception as e:  # cost model unavailable on this backend
+        print(f"# cost_analysis unavailable: {e}", file=sys.stderr)
+
+    roofline = {}
+    if flops_per_step:
+        achieved_tflops = flops_per_step * steps_per_s / 1e12
+        achieved_gbs = bytes_per_step * steps_per_s / 1e9
+        roofline = {
+            # flops/bytes are XLA cost-model numbers: bytes is a LOGICAL
+            # upper bound (pre-fusion accesses), so pct >100 means the
+            # compiled step serves that fraction from VMEM/registers —
+            # i.e. the step is at or past the naive HBM roofline
+            "flops_per_step": round(flops_per_step, 1),
+            "bytes_per_step_logical": round(bytes_per_step, 1),
+            "achieved_tflops": round(achieved_tflops, 3),
+            "hbm_gbs_logical": round(achieved_gbs, 1),
+            "pct_hbm_spec_peak": round(100.0 * achieved_gbs / HBM_PEAK_GBS, 1),
+            "pct_mxu_peak": round(100.0 * achieved_tflops / MXU_PEAK_TFLOPS, 2),
+        }
 
     # secondary metric: FUSED policy-MLP + physics + reward/done + auto-reset
     # steps/s — the number that bounds ARS wall-clock (reference measures
@@ -121,6 +170,7 @@ def main():
         "value": round(steps_per_s, 1),
         "unit": "steps/s",
         "vs_baseline": round(steps_per_s / 2.0e5, 3),
+        **roofline,
     }
     print(json.dumps(result))
     print(

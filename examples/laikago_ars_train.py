@@ -22,6 +22,7 @@ class Cfg:
     eval_interval: int = 10
     checkpoint: str = "./logs/laikago_ars/policy.pkl"
     resume: str = ""  # checkpoint to warm-start params/obs_stat from
+    seed: int = 0  # ARS exploration + init seed (multi-seed studies)
 
 
 def main():
@@ -49,7 +50,7 @@ def main():
     mesh = make_mesh() if len(jax.devices()) > 1 else None
     step_fn = make_train_step(env, policy, ars_cfg, mesh=mesh)
     eval_fn = make_eval(env, policy, ars_cfg, num_rollouts=8)
-    state = init_ars(env, policy, jax.random.PRNGKey(0))
+    state = init_ars(env, policy, jax.random.PRNGKey(cfg.seed))
     if cfg.resume:
         from tds_tpu.learn.running_stat import RunningStat
         from tds_tpu.utils.checkpoint import load_checkpoint
@@ -66,7 +67,9 @@ def main():
     for it in range(cfg.iterations):
         state, metrics = step_fn(state)
         if (it + 1) % cfg.eval_interval == 0:
-            metrics.update(eval_fn(state, jax.random.PRNGKey(1000 + it)))
+            metrics.update(
+                eval_fn(state, jax.random.PRNGKey(1000 + 100000 * cfg.seed + it))
+            )
             save_checkpoint(
                 cfg.checkpoint,
                 {"params": state.params, "obs_stat": state.obs_stat},

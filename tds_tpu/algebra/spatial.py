@@ -14,7 +14,14 @@ import jax.numpy as jnp
 
 
 def mv(top, bottom):
-    """Build a spatial vector from top (angular) and bottom (linear) parts."""
+    """Build a spatial vector from top (angular) and bottom (linear) parts.
+
+    The halves may carry different batch shapes (e.g. a static joint axis
+    against a batched frame); they are broadcast to a common batch —
+    trace-time only, XLA folds broadcasts into consumers.
+    """
+    if top.shape[:-1] != bottom.shape[:-1]:
+        top, bottom = jnp.broadcast_arrays(top, bottom)
     return jnp.concatenate([top, bottom], axis=-1)
 
 

@@ -45,6 +45,10 @@ class ContactSolverParams(NamedTuple):
     # mb_constraint_solver.hpp:210-262); "crba" = explicit mass matrix +
     # tree-sparse Cholesky (kept for cross-validation).
     minv_method: str = "aba"
+    # PGS sweep backend: "xla" (unrolled jnp ops, fused into the step) or
+    # "pallas" (lane-major Mosaic kernel, contact/pallas_pgs.py). Pallas
+    # requires a leading batch axis on the contact state.
+    pgs_impl: str = "xla"
 
 
 def plane_space(n):
@@ -276,7 +280,21 @@ def resolve_collision(
         limit_dependency += list(range(n_c))
 
     x0 = jnp.zeros(bshape + (n_rows,), dtype=dtype)
-    p = solve_pgs(a_mat, rhs, lo, hi, limit_dependency, x0, params.pgs_iterations)
+    if params.pgs_impl == "pallas" and bshape:
+        from tds_tpu.contact.pallas_pgs import solve_pgs_pallas
+
+        p = solve_pgs_pallas(
+            a_mat.reshape((-1, n_rows, n_rows)),
+            rhs.reshape((-1, n_rows)),
+            lo.reshape((-1, n_rows)),
+            hi.reshape((-1, n_rows)),
+            limit_dependency,
+            params.pgs_iterations,
+        ).reshape(bshape + (n_rows,))
+    else:
+        p = solve_pgs(
+            a_mat, rhs, lo, hi, limit_dependency, x0, params.pgs_iterations
+        )
 
     if n_a:
         qd_a = qd_a + sm.mtv(jminv_a, p)

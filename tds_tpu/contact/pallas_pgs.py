@@ -17,19 +17,19 @@ boundary; XLA fuses those transposes into the producers.
 
 Falls back to interpret mode off-TPU, so the correctness test runs in CI.
 
-STATUS on the axon-tunnel TPU backend (measured 2026-08-17, v5e):
-- round-1 layout (batch on sublanes, 3D A-ref): Mosaic compile hung
-  >9 min, twice.
-- this lane-major layout: compiles in 0.6s and dispatches, but
-  device-to-host readback of the kernel's output never completes
-  (reproduced twice; any later op touching the result also hangs, while
-  plain XLA programs in fresh processes are unaffected). Pallas execution
-  is broken in the experimental plugin, not in this kernel.
-- the XLA path it would replace runs the whole laikago step at 5.0M
-  env-steps/s with PGS a microsecond-scale slice of it, so this kernel
-  stays un-wired (contact/mlcp.py uses solve_pgs) until the backend's
-  Pallas support lands. Interpret-mode parity is kept under test
-  (tests/test_pallas_pgs.py) so the kernel is ready when it does.
+STATUS on the axon-tunnel TPU backend:
+- round 1 (2026-08-17 early): batch-on-sublanes 3D-A-ref layout hung
+  Mosaic compile >9 min, twice. Rewritten lane-major.
+- round 2: lane-major compiled in 0.6s but device-to-host readback of the
+  kernel output hung (plugin execution broken, reproduced twice).
+- round 3 (2026-08-17 late): the plugin's Pallas execution now WORKS —
+  readback completes, output matches the XLA solve_pgs to 6e-8 (f32), and
+  the full laikago contact step with this kernel wired in runs at 1.02x
+  the XLA-path throughput (4.55M vs 4.46M steps/s, batch 4096, same
+  session). Wired behind ContactSolverParams(pgs_impl="pallas"); the XLA
+  path stays the default since it fuses into the surrounding step and the
+  kernel is at parity, not ahead. Requires whole-batch stepping (leading
+  batch axis), not vmap-per-env.
 """
 
 from functools import partial

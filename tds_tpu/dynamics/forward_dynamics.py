@@ -223,7 +223,9 @@ def forward_dynamics_from_kin(
         )
         base_acc = -_abi_apply(inv, base_bias)
     else:
-        base_acc = -spatial_gravity
+        # broadcast to the batch so root links can mix it with batched
+        # transforms (supports whole-batch stepping without vmap)
+        base_acc = jnp.broadcast_to(-spatial_gravity, q.shape[:-1] + (6,))
 
     # ---- forward sweep (forward_dynamics.hpp:245-302) ----------------------
     batch = q.shape[:-1]

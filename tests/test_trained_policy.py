@@ -54,14 +54,19 @@ def test_trained_laikago_policy_walks():
 
         (st, obs, total, alive), _ = jax.lax.scan(
             step, (st, obs, jnp.zeros((), obs.dtype), jnp.ones((), obs.dtype)),
-            None, length=1000,
+            None, length=2000,
         )
         return total, st.q, alive
 
     total, q_final, alive = rollout(jax.random.PRNGKey(123))
     x = float(q_final[0])
     z = float(q_final[2])
-    assert float(alive) == 1.0, "policy fell within 1000 steps"
-    assert x > 0.5, f"no forward progress: x={x:.3f}"
+    # thresholds pinned to within ~2x of the committed policy's measured
+    # actuals (x=3.03 m, reward=2218 over 2000 steps, seeds 123/7 within
+    # 1.5%) so a physics regression that halves gait speed fails loudly
+    assert float(alive) == 1.0, "policy fell within 2000 steps"
+    assert x > 1.6, f"gait too slow: x={x:.3f} m in 2 s (expected ~3.0)"
     assert 0.3 < z < 0.6, f"bad height: z={z:.3f}"
-    assert float(total) > 100.0, f"cumulative reward {float(total):.1f}"
+    assert float(total) > 1100.0, (
+        f"cumulative reward {float(total):.1f} (expected ~2200)"
+    )
