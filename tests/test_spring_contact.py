@@ -110,3 +110,83 @@ def test_spring_contact_gradient_smoothness():
     eps = 1e-5
     fd = (final_z(0.9 + eps) - final_z(0.9 - eps)) / (2 * eps)
     np.testing.assert_allclose(float(g), float(fd), rtol=1e-3, atol=1e-5)
+
+
+def test_spring_solver_matches_discrete_oracle():
+    """Pin the spring-damper constants end-to-end (round-2 weak #8: the
+    solver had only qualitative tests because the reference ships its
+    spring solver disabled). A falling, sideways-sliding sphere on a plane
+    reduces to 2 scalar ODEs; a numpy replica of the exact discrete update
+    (env-loop ordering: gravity kick -> f = k*pen + d*max(-vn,0) while
+    penetrating -> velocity kick dt*f/m -> position update) must match the
+    full pipeline (narrowphase -> Jacobians -> M^-1 -> integration)
+    step-for-step, and the settled state must satisfy the analytic static
+    equilibrium k*pen = m*g."""
+    import numpy as np
+
+    from tds_tpu.contact.spring import SpringContactParams
+    from tds_tpu.model.geometry import GeomAttachment, Sphere
+    from tds_tpu.model.multibody import MultiBodyBuilder
+    from tds_tpu.world import build_world, make_ground_plane, world_step
+
+    m, r = 1.5, 0.2
+    k, d, mu = 4000.0, 60.0, 0.4
+    dt, g = 1e-3, -9.81
+    params = SpringContactParams(
+        spring_k=k, damper_d=d, mu_kinetic=mu, mu_static=mu
+    )
+
+    b = MultiBodyBuilder(is_floating=True, name="oracle_sphere")
+    b.set_base_inertia(m, (0, 0, 0), np.diag([0.024] * 3))
+    ball = b.finalize()
+    geom = (GeomAttachment(link_index=-1, shape=Sphere(r)),)
+    world = build_world(
+        [make_ground_plane(), (ball, geom)],
+        contact_model="spring", spring=params,
+    )
+
+    q = ball.zero_q().at[6].set(0.25).at[4].set(0.0)
+    qd = ball.zero_qd().at[5].set(-0.5).at[3].set(0.8)  # falling + sliding
+    qs, qds = (jnp.zeros(0), q), (jnp.zeros(0), qd)
+    taus = (jnp.zeros(0), jnp.zeros(0))
+    gravity = jnp.array([0.0, 0.0, g])
+
+    # numpy oracle for (x, z, vx, vz, wy): friction acts at the contact
+    # point (lever arm -r z), so it also spins the ball; the tangential
+    # slip velocity is vx - r*wy, not vx
+    Iy = 0.024
+    z, vz = 0.25, -0.5
+    x, vx, wy = 0.0, 0.8, 0.0
+    zs, xs = [], []
+    n_steps = 800
+    for _ in range(n_steps):
+        vz += g * dt
+        pen = max(-(z - r), 0.0)
+        in_contact = (z - r) < 0.0
+        f_n = (k * pen + d * max(-vz, 0.0)) if in_contact else 0.0
+        vpx = vx - r * wy  # slip velocity of the contact point
+        f_t = -mu * f_n * np.sign(vpx) if abs(vpx) > 1e-9 else 0.0
+        vz += dt * f_n / m
+        vx += dt * f_t / m
+        wy += dt * (-r * f_t) / Iy  # torque = (-r z) x (f_t x) = -r f_t y
+        z += dt * vz
+        x += dt * vx
+        zs.append(z)
+        xs.append(x)
+
+    traj_z, traj_x = [], []
+    for _ in range(n_steps):
+        qs, qds = world_step(world, qs, qds, taus, gravity, dt)
+        traj_z.append(float(qs[1][6]))
+        traj_x.append(float(qs[1][4]))
+
+    np.testing.assert_allclose(traj_z, zs, rtol=0, atol=1e-9,
+                               err_msg="normal spring-damper law diverges")
+    np.testing.assert_allclose(traj_x, xs, rtol=0, atol=1e-9,
+                               err_msg="Coulomb friction law diverges")
+
+    # analytic static equilibrium: k * penetration == m * g
+    pen_final = r - traj_z[-1]
+    assert abs(k * pen_final - m * abs(g)) < 0.05 * m * abs(g), (
+        f"settled penetration {pen_final:.5f} != mg/k {m*abs(g)/k:.5f}"
+    )
