@@ -684,6 +684,35 @@ class TinyActuator:
         return tau
 
 
+class TinyUrdfParser:
+    """TinyUrdfParser binding shape (inl:1013-1015): load_urdf returns the
+    parsed UrdfStructures (convert separately via UrdfToMultiBody2)."""
+
+    def load_urdf(self, path):
+        from tds_tpu.urdf.parser import parse_urdf_file
+
+        return parse_urdf_file(path)
+
+    def load_urdf_from_string(self, text):
+        from tds_tpu.urdf.parser import parse_urdf_string
+
+        return parse_urdf_string(text)
+
+
+class UrdfToMultiBody2:
+    """inl:1032-1034: convert parsed structures into a multibody."""
+
+    def convert2(self, urdf_structures, world=None, is_floating=False):
+        from tds_tpu.urdf.converter import convert_to_multibody
+
+        model, geoms = convert_to_multibody(urdf_structures, is_floating)
+        mb = TinyMultiBody(model, geoms)
+        if world is not None:
+            world.bodies.append(mb)
+            world._world = None
+        return mb
+
+
 class TinyServoActuator:
     """PD-servo actuator (control/actuators.py ServoActuator veneer)."""
 
@@ -698,3 +727,28 @@ class TinyServoActuator:
             (), jnp.asarray(q), jnp.asarray(qd), jnp.asarray(target_positions)
         )
         return tau
+
+
+# ---- URDF structure classes (pytinydiffsim.inl:896-1035) --------------------
+# The reference binds the raw parsed-URDF records so scripts can build or
+# edit robots programmatically; ours are plain dataclasses with the same
+# field names (urdf/structures.py).
+from tds_tpu.urdf.structures import (  # noqa: E402
+    UrdfCollision as TinyUrdfCollision,
+    UrdfGeometry as TinyUrdfGeometry,
+    UrdfInertial as TinyUrdfInertial,
+    UrdfJoint as TinyUrdfJoint,
+    UrdfLink as TinyUrdfLink,
+    UrdfStructures as TinyUrdfStructures,
+    UrdfVisual as TinyUrdfVisual,
+)
+
+# ---- intentionally NOT bound (with rationale) --------------------------------
+# - pytinydiffsim_ad / _dual scalar-variant modules: every function here is
+#   differentiable via jax.grad/jacfwd; there is nothing to switch.
+# - pytinyopengl3 / TinyOpenGL3 windowed visualizer: no display on TPU
+#   pods; MeshcatVisualizer + the software TinyRenderer cover visualization.
+# - Fix64 scalar: XLA gives bitwise-reproducible f32/f64
+#   (tests/test_determinism.py); a fixed-point scalar would forfeit the MXU.
+# - PyBullet URDF import (b3RobotSimulatorClientAPI): needs a live Bullet
+#   server process; the bundled URDF assets cover the reference's robots.
