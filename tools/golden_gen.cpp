@@ -568,6 +568,12 @@ int main(int argc, char** argv) {
                         "tests/golden/humanoid_spherical_random_sweep.json",
                         /*n_cases=*/100, /*floating=*/false, /*seed=*/999,
                         /*q_scale=*/0.4, /*qd_scale=*/0.5, /*mm_every=*/0);
+  // the robot from the reference's own (commented-out) RBDL list,
+  // test_rbdl.cpp:303-304
+  random_dynamics_sweep("/root/reference/data/swimmer/swimmer05/swimmer05.urdf",
+                        "tests/golden/swimmer_random_sweep.json",
+                        /*n_cases=*/100, /*floating=*/false, /*seed=*/31337,
+                        /*q_scale=*/0.5, /*qd_scale=*/0.6, /*mm_every=*/20);
 
   // ---- case 7: floating-base (quaternion) laikago through the MLCP --------
   pd_floating_locomotion_golden(
