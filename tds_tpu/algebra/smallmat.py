@@ -27,16 +27,19 @@ avoiding malloc; here it is avoiding the systolic array and the fusion
 boundaries.
 """
 
+import os
+
 import jax.numpy as jnp
 
 # Max unrolled multiply terms before scalar expansion falls back to
 # broadcast+reduce. Default 0 = always broadcast+reduce: scalar expansion
 # wins at runtime (19-chain 3x3 matmul: 13.4us vs 37.3us) but the 3x3 ops
 # dominate the physics step, and unrolling them grew the laikago step
-# jaxpr ~10x (8.7K -> 90K eqns, CPU compile 9s -> 59s) — wrong side of
-# this backend's first-compile-latency pathology (PROGRESS.md). Raise the
-# limit on stacks where compile time is cheap.
-_UNROLL_LIMIT = 0
+# jaxpr ~10x (8.7K -> 90K eqns, CPU compile 9s -> 59s). Round-3 compile
+# attribution (PROGRESS.md) showed warm-session compiles are cheap, so
+# the trade is worth probing per stack: override with
+# TDS_SMALLMAT_UNROLL=<max terms> (read at import).
+_UNROLL_LIMIT = int(os.environ.get("TDS_SMALLMAT_UNROLL", "0"))
 
 
 def mv(m, v):

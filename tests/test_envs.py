@@ -129,3 +129,31 @@ class TestLocomotion:
                 state, jnp.zeros(8, dtype=state.q.dtype)
             )
         assert np.all(np.isfinite(np.asarray(obs)))
+
+
+def test_whole_batch_step_equals_vmap():
+    """Direct batched sim_step (leading batch axis, no vmap — the layout
+    the Pallas PGS backend needs) matches vmap-of-single-env stepping.
+    Guards the round-3 broadcast fixes in spatial.mv / the fixed-base
+    base_acc."""
+    from tds_tpu.envs.laikago import LaikagoEnv
+
+    env = LaikagoEnv()
+    q0, qd0 = env.initial_state(jax.random.PRNGKey(0))
+    batch = 4
+    qs = jnp.tile(q0[None], (batch, 1))
+    qds = jnp.tile(qd0[None], (batch, 1))
+    qds = qds.at[:, 0].set(jnp.linspace(-0.3, 0.3, batch))
+    act = jnp.zeros((batch, env.action_dim), q0.dtype)
+
+    qb, qdb = qs, qds
+    for _ in range(5):
+        qb, qdb = env.sim_step(qb, qdb, act)
+
+    qv, qdv = qs, qds
+    vstep = jax.vmap(env.sim_step)
+    for _ in range(5):
+        qv, qdv = vstep(qv, qdv, act)
+
+    np.testing.assert_allclose(np.asarray(qb), np.asarray(qv), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(qdb), np.asarray(qdv), atol=1e-11)
