@@ -25,7 +25,10 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
 def main():
-    batch = int(os.environ.get("TDS_BENCH_BATCH", 4096))
+    # batch swept in round 3 (PROGRESS.md): 4096 -> 4.97M steps/s, 8192 ->
+    # 5.59M, 16384 -> 6.02M, 20480 -> 6.01M, 32768 -> 5.09M. 16384 sits on
+    # the plateau; beyond it HBM traffic (not parallelism) is the wall.
+    batch = int(os.environ.get("TDS_BENCH_BATCH", 16384))
     inner_steps = int(os.environ.get("TDS_BENCH_STEPS", 100))
 
     from tds_tpu.envs.laikago import LaikagoEnv
