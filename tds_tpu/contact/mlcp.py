@@ -21,6 +21,7 @@ environments the two coincide).
 
 from typing import NamedTuple, Optional, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 
 from tds_tpu.collision.narrowphase import Contact
@@ -29,6 +30,7 @@ from tds_tpu.dynamics.jacobian import point_jacobian_kin
 from tds_tpu.dynamics.kinematics import fk_links
 from tds_tpu.dynamics.mass_matrix import mass_matrix_from_kin
 from tds_tpu.model.multibody import MultiBodyModel
+from tds_tpu.algebra.update import set_index
 
 
 class ContactSolverParams(NamedTuple):
@@ -81,7 +83,10 @@ def solve_pgs(a_mat, b, lo, hi, limit_dependency, x0, iterations: int):
     x = x0
     for _ in range(iterations):
         for i in range(n):
-            delta = jnp.einsum("...j,...j->...", a_mat[..., i, :], x) - (
+            # sum-multiply, not einsum: batched dot_general trips an MLIR
+            # attribute bug in the axon plugin's Mosaic when this code runs
+            # inside a Pallas kernel (and the VPU form fuses identically)
+            delta = jnp.sum(a_mat[..., i, :] * x, axis=-1) - (
                 a_mat[..., i, i] * x[..., i]
             )
             xi = (b[..., i] - delta) / a_mat[..., i, i]
@@ -91,7 +96,7 @@ def solve_pgs(a_mat, b, lo, hi, limit_dependency, x0, iterations: int):
             else:
                 s = jnp.ones_like(xi)
             xi = jnp.clip(xi, lo[..., i] * s, hi[..., i] * s)
-            x = x.at[..., i].set(xi)
+            x = set_index(x, i, xi)
     return x
 
 
@@ -206,7 +211,10 @@ def resolve_collision(
 
     normals, fr1s, fr2s, rel_vels = [], [], [], []
     for i in range(n_c):
-        normal = cp.normal_on_b[..., i, :] * collision[..., i, None]
+        # lax.slice_in_dim, not int indexing: jnp's int-index read lowers to
+        # gather, which Mosaic (Pallas) cannot lower
+        col_i = jax.lax.slice_in_dim(collision, i, i + 1, axis=-1)
+        normal = cp.normal_on_b[..., i, :] * col_i
         ja = jac(model_a, kin_a, batch.link_a[i], cp.point_a[..., i, :]) if n_a else None
         jb = jac(model_b, kin_b, batch.link_b[i], cp.point_b[..., i, :]) if n_b else None
         jacs_a_n.append(ja)
@@ -218,12 +226,12 @@ def resolve_collision(
         vn = jnp.sum(cp.normal_on_b[..., i, :] * rel_vel, axis=-1)
         baumgarte = params.erp * cp.distance[..., i] / dt
         rest = batch.restitution[..., i] if batch.restitution.ndim else batch.restitution
-        b_n = (-(1.0 + rest) * vn - baumgarte) * collision[..., i]
+        b_n = (-(1.0 + rest) * vn - baumgarte) * col_i[..., 0]
         normals.append(normal)
         b_vec.append(b_n)
         f1, f2 = plane_space(cp.normal_on_b[..., i, :])
-        fr1s.append(f1 * collision[..., i, None])
-        fr2s.append(f2 * collision[..., i, None])
+        fr1s.append(f1 * col_i)
+        fr2s.append(f2 * col_i)
 
     # friction rhs blocks
     fr1_b = [-jnp.sum(fr1s[i] * rel_vels[i], axis=-1) for i in range(n_c)]

@@ -6,6 +6,7 @@ import jax.numpy as jnp
 from tds_tpu.algebra import quaternion
 from tds_tpu.model.joints import JointType
 from tds_tpu.model.multibody import MultiBodyModel
+from tds_tpu.algebra.update import set_index, set_slice
 
 
 def pd_force(kp, kd, q_desired, q_actual, qd_desired, qd_actual, max_force):
@@ -59,7 +60,7 @@ def pd_tau(
                 quaternion.identity(q.dtype), q_actual
             )
             force = jnp.clip(kp * err - kd * qd_actual, -max_force, max_force)
-            tau = tau.at[..., t_off : t_off + 3].set(force)
+            tau = set_slice(tau, t_off, force)
             pose_index += 4
         else:
             qo = model.q_offsets[i]
@@ -73,6 +74,6 @@ def pd_tau(
                 qd[..., model.qd_offsets[i]],
                 max_force,
             )
-            tau = tau.at[..., t_off].set(force)
+            tau = set_index(tau, t_off, force)
             pose_index += 1
     return tau

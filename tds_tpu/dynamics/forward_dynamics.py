@@ -31,6 +31,7 @@ from tds_tpu.algebra.inertia import ArticulatedBodyInertia
 from tds_tpu.dynamics.kinematics import fk_links
 from tds_tpu.model.joints import JointType
 from tds_tpu.model.multibody import MultiBodyModel
+from tds_tpu.algebra.update import set_index, set_slice
 
 
 # Trace-time switch: when True, the floating-base ABI is inverted with the
@@ -241,18 +242,18 @@ def forward_dynamics_from_kin(
             ut_a = sm.mtv(factor.u[i], ai)
             qdd_val = sm.mv(factor.d_inv[i], u_bias[i] - ut_a)
             off = model.qd_offsets[i]
-            qdd = qdd.at[..., off : off + 3].set(qdd_val)
+            qdd = set_slice(qdd, off, qdd_val)
             ai = ai + _mat63_vec(s, qdd_val)
         elif jt != JointType.FIXED:
             s = model.motion_subspace(i)
             ut_a = spatial.dot(factor.u[i], ai)
             qdd_val = factor.d_inv[i] * (u_bias[i] - ut_a)
-            qdd = qdd.at[..., model.qd_offsets[i]].set(qdd_val)
+            qdd = set_index(qdd, model.qd_offsets[i], qdd_val)
             ai = ai + s * qdd_val[..., None]
         a[i] = ai
 
     if model.is_floating:
-        qdd = qdd.at[..., 0:6].set(base_acc + spatial_gravity)
+        qdd = set_slice(qdd, 0, base_acc + spatial_gravity)
     return qdd
 
 
@@ -310,7 +311,7 @@ def minv_mul(model: MultiBodyModel, kin, factor: AbaFactor, x):
         if base_p is not None:
             f0 = f0 - base_p
         base_acc = _abi_apply(factor.base_abi_inv, f0)
-        out = out.at[..., 0:6].set(base_acc)
+        out = set_slice(out, 0, base_acc)
     else:
         base_acc = zero6
 
@@ -326,13 +327,13 @@ def minv_mul(model: MultiBodyModel, kin, factor: AbaFactor, x):
             ut_a = sm.mtv(factor.u[i], ai)
             qdd_val = sm.mv(factor.d_inv[i], u_bias[i] - ut_a)
             off = model.qd_offsets[i]
-            out = out.at[..., off : off + 3].set(qdd_val)
+            out = set_slice(out, off, qdd_val)
             ai = ai + _mat63_vec(s, qdd_val)
         elif jt != JointType.FIXED:
             s = model.motion_subspace(i)
             ut_a = spatial.dot(factor.u[i], ai)
             qdd_val = factor.d_inv[i] * (u_bias[i] - ut_a)
-            out = out.at[..., model.qd_offsets[i]].set(qdd_val)
+            out = set_index(out, model.qd_offsets[i], qdd_val)
             ai = ai + s * qdd_val[..., None]
         a[i] = ai
     return out

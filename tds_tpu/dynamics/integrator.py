@@ -16,6 +16,7 @@ import jax.numpy as jnp
 from tds_tpu.algebra import quaternion
 from tds_tpu.model.joints import JointType
 from tds_tpu.model.multibody import MultiBodyModel
+from tds_tpu.algebra.update import set_index, set_slice
 
 
 def integrate_euler_qdd(model: MultiBodyModel, q, qd, qdd, dt):
@@ -39,8 +40,8 @@ def integrate_q(model: MultiBodyModel, q, qd, dt):
     if model.is_floating:
         w_world = qd[..., 0:3]
         base_rot = quaternion.integrate_world(q[..., 0:4], w_world, dt)
-        q = q.at[..., 0:4].set(base_rot)
-        q = q.at[..., 4:7].set(q[..., 4:7] + qd[..., 3:6] * dt)
+        q = set_slice(q, 0, base_rot)
+        q = set_slice(q, 4, q[..., 4:7] + qd[..., 3:6] * dt)
 
     for i in range(model.num_links):
         jt = JointType(model.joint_types[i])
@@ -49,10 +50,10 @@ def integrate_q(model: MultiBodyModel, q, qd, dt):
         qo, qdo = model.q_offsets[i], model.qd_offsets[i]
         if jt == JointType.SPHERICAL:
             damping = jnp.power(model.joint_damping, dt * 1000.0)
-            qd = qd.at[..., qdo : qdo + 3].set(qd[..., qdo : qdo + 3] * damping)
+            qd = set_slice(qd, qdo, qd[..., qdo : qdo + 3] * damping)
             quat = q[..., qo : qo + 4]
             new_quat = quaternion.integrate_local(quat, qd[..., qdo : qdo + 3], dt)
-            q = q.at[..., qo : qo + 4].set(new_quat)
+            q = set_slice(q, qo, new_quat)
         else:
-            q = q.at[..., qo].set(q[..., qo] + qd[..., qdo] * dt)
+            q = set_index(q, qo, q[..., qo] + qd[..., qdo] * dt)
     return q, qd

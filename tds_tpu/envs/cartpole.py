@@ -10,6 +10,8 @@ states (:183-189).
 import jax
 import jax.numpy as jnp
 
+from tds_tpu.algebra.update import set_index
+
 from tds_tpu.dynamics.forward_dynamics import forward_dynamics
 from tds_tpu.dynamics.integrator import integrate_euler
 from tds_tpu.envs.base import Env, EnvState
@@ -43,8 +45,8 @@ class CartpoleEnv(Env):
     def sim_step(self, q, qd, action):
         force = jnp.clip(action, self.action_low, self.action_high)
         tau = jnp.zeros(q.shape[:-1] + (self.model.dof_actuated,), q.dtype)
-        tau = tau.at[..., 0].set(
-            force[..., 0] if force.ndim == q.ndim else force
+        tau = set_index(
+            tau, 0, force[..., 0] if force.ndim == q.ndim else force
         )
         qdd = forward_dynamics(self.model, q, qd, tau, self.gravity)
         return integrate_euler(self.model, q, qd, qdd, self.dt)

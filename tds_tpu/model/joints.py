@@ -24,6 +24,8 @@ import enum
 
 import jax.numpy as jnp
 
+from tds_tpu.algebra import smallmat as sm
+
 from tds_tpu.algebra import quaternion, rotation, spatial
 from tds_tpu.algebra.transform import Transform
 
@@ -100,7 +102,10 @@ def motion_subspace(joint_type: JointType, axis, dtype):
         return spatial.mv(z3, jnp.asarray(axis, dtype=dtype))
     if joint_type in (JointType.REVOLUTE_AXIS,):
         return spatial.mv(jnp.asarray(axis, dtype=dtype), z3)
-    unit = jnp.zeros(3, dtype=dtype).at[_AXIS_OF[joint_type]].set(1.0)
+    unit = jnp.asarray(
+        [1.0 if k == _AXIS_OF[joint_type] else 0.0 for k in range(3)],
+        dtype=dtype,
+    )
     if joint_type in PRISMATIC_TYPES:
         return spatial.mv(z3, unit)
     return spatial.mv(unit, z3)
@@ -120,10 +125,12 @@ def jcalc_transform(joint_type: JointType, x_t: Transform, axis, q_link):
             d = jnp.asarray(axis, dtype=dtype) * q_link[..., 0:1]
         else:
             i = _AXIS_OF[joint_type]
-            d = jnp.zeros(q_link.shape[:-1] + (3,), dtype=dtype)
-            d = d.at[..., i].set(q_link[..., 0])
+            one_hot = jnp.asarray(
+                [1.0 if k == i else 0.0 for k in range(3)], dtype=dtype
+            )
+            d = one_hot * q_link[..., 0:1]
         # X_T * translation-only X_J
-        return Transform(pos=x_t.pos + jnp.einsum("...ij,...j->...i", x_t.rot, d), rot=x_t.rot)
+        return Transform(pos=x_t.pos + sm.mv(x_t.rot, d), rot=x_t.rot)
     if joint_type in (JointType.REVOLUTE_X, JointType.REVOLUTE_Y, JointType.REVOLUTE_Z):
         r = _ROTFN[_AXIS_OF[joint_type]](q_link[..., 0])
     elif joint_type == JointType.REVOLUTE_AXIS:
@@ -139,7 +146,7 @@ def jcalc_transform(joint_type: JointType, x_t: Transform, axis, q_link):
         r = quaternion.to_matrix(q_link)
     else:
         raise ValueError(f"unknown joint type {joint_type}")
-    return Transform(pos=x_t.pos, rot=x_t.rot @ r)
+    return Transform(pos=x_t.pos, rot=sm.mm(x_t.rot, r))
 
 
 def jcalc_velocity(joint_type: JointType, axis, s, qd_link):
