@@ -12,11 +12,12 @@ Contacts are batches of ``Contact`` pytrees with leaves shaped (…, k, 3)/(…,
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from tds_tpu.algebra.transform import Transform
 from tds_tpu.algebra import smallmat as sm
-from tds_tpu.model.geometry import Box, Capsule, Plane, Sphere
+from tds_tpu.model.geometry import Box, Capsule, Mesh, Plane, Sphere
 
 
 class Contact(NamedTuple):
@@ -185,6 +186,82 @@ def capsule_sphere(ca: Capsule, xa: Transform, sb: Sphere, xb: Transform) -> Con
     return c
 
 
+# -- mesh narrowphase (beyond reference: geometry.hpp stops at the type id) --
+
+import functools
+
+import numpy as np
+
+
+@functools.lru_cache(maxsize=64)
+def _mesh_vertices(file_name: str, scale) -> np.ndarray:
+    """Load + scale mesh vertices once per (file, scale); the array becomes
+    a trace-time constant, so narrowphase stays statically shaped."""
+    from tds_tpu.native.mesh import load_obj
+    from tds_tpu.utils.file_utils import find_file
+
+    with open(find_file(file_name)) as f:
+        vertices, _ = load_obj(f.read())
+    return np.asarray(vertices, np.float64) * np.asarray(scale, np.float64)
+
+
+def _world_vertices(mesh: Mesh, xb: Transform):
+    dtype = xb.pos.dtype
+    verts = jnp.asarray(_mesh_vertices(mesh.file_name, mesh.scale), dtype)
+    # one large (V,3) contraction — unlike the per-link 3x3s this is an
+    # MXU-appropriate matmul, so einsum (dot_general) is the right form
+    return jnp.einsum("...ij,vj->...vi", xb.rot, verts) + xb.pos[..., None, :]
+
+
+def plane_mesh(pa: Plane, xa: Transform, mb: Mesh, xb: Transform) -> Contact:
+    """K deepest mesh vertices vs the plane (K = mesh.max_contacts).
+
+    The static-count + masking analog of the reference's 8-corner box
+    probes; exact for convex-vertex contact against a plane (every
+    mesh-plane contact point is a vertex)."""
+    k = int(mb.max_contacts)
+    n = jnp.asarray(pa.normal, dtype=xb.pos.dtype)
+    w = _world_vertices(mb, xb)  # (…, V, 3)
+    t = jnp.sum(w * n, axis=-1) - pa.constant  # (…, V) signed distances
+    neg_t, idx = jax.lax.top_k(-t, k)  # deepest K
+    point_b = jnp.take_along_axis(w, idx[..., None], axis=-2)
+    distance = -neg_t
+    point_a = point_b - distance[..., None] * n
+    normal = jnp.broadcast_to(-n, point_b.shape)
+    return Contact(
+        normal_on_b=normal,
+        point_a=point_a,
+        point_b=point_b,
+        distance=distance,
+    )
+
+
+def sphere_mesh(sa: Sphere, xa: Transform, mb: Mesh, xb: Transform) -> Contact:
+    """K nearest mesh vertices vs a sphere (vertex-sampled narrowphase:
+    exact when vertices dominate the closest features, an approximation on
+    large flat faces — documented, like the reference's corner-sphere box
+    approximations)."""
+    from tds_tpu.algebra.spatial import safe_norm
+
+    k = int(mb.max_contacts)
+    w = _world_vertices(mb, xb)  # (…, V, 3)
+    diff = xa.pos[..., None, :] - w  # center - vertex
+    length = safe_norm(diff, axis=-1)
+    neg_d, idx = jax.lax.top_k(-(length - sa.radius), k)
+    distance = -neg_d
+    point_b = jnp.take_along_axis(w, idx[..., None], axis=-2)
+    d_sel = jnp.take_along_axis(diff, idx[..., None], axis=-2)
+    l_sel = jnp.maximum(jnp.take_along_axis(length, idx, axis=-1), 1e-12)
+    normal = d_sel / l_sel[..., None]  # from vertex toward sphere center
+    point_a = xa.pos[..., None, :] - sa.radius * normal
+    return Contact(
+        normal_on_b=normal,
+        point_a=point_a,
+        point_b=point_b,
+        distance=distance,
+    )
+
+
 def flip(contact: Contact) -> Contact:
     """Swap roles of a and b (the dispatcher's reversed-pair handling,
     contact_point.hpp:445-506)."""
@@ -203,16 +280,25 @@ _PAIR_TABLE = {
     (Plane, Box): (plane_box, False),
     (Sphere, Box): (sphere_box, False),
     (Capsule, Sphere): (capsule_sphere, False),
+    (Plane, Mesh): (plane_mesh, False),
+    (Sphere, Mesh): (sphere_mesh, False),
     # reversed pairs
     (Sphere, Plane): (plane_sphere, True),
     (Capsule, Plane): (plane_capsule, True),
     (Box, Plane): (plane_box, True),
     (Box, Sphere): (sphere_box, True),
     (Sphere, Capsule): (capsule_sphere, True),
+    (Mesh, Plane): (plane_mesh, True),
+    (Mesh, Sphere): (sphere_mesh, True),
 }
 
 
 def supported(shape_a, shape_b) -> bool:
+    # meshes collide only when opted in (max_contacts > 0); the default 0
+    # preserves reference parity (visual-only meshes) for existing models
+    for s in (shape_a, shape_b):
+        if isinstance(s, Mesh) and s.max_contacts <= 0:
+            return False
     return (type(shape_a), type(shape_b)) in _PAIR_TABLE
 
 

@@ -85,11 +85,21 @@ class Cylinder:
 
 @dataclasses.dataclass(frozen=True)
 class Mesh:
-    """Placeholder: meshes participate in visuals only (reference parity —
-    geometry.hpp has no mesh narrowphase either)."""
+    """Triangle-mesh shape (the reference's geometry.hpp stops at a type id
+    with no mesh narrowphase; we go further, opt-in).
+
+    ``max_contacts = 0`` (the default) keeps reference parity: the mesh is
+    visual-only and every collision pair involving it is unsupported, so
+    existing models are bit-for-bit unaffected. Setting ``max_contacts = K``
+    (e.g. ``dataclasses.replace(mesh, max_contacts=4)``) enables the
+    vertex-based narrowphase in ``collision/narrowphase.py``: the K deepest
+    mesh vertices become the static contact-candidate set — the same
+    fixed-count + masking design as the reference's 8-corner box probes
+    (contact_point.hpp:164-198), sized for the TPU's static shapes."""
 
     file_name: str = ""
     scale: Tuple[float, float, float] = (1.0, 1.0, 1.0)
+    max_contacts: int = 0
 
     def local_inertia(self, mass: float):
         return (0.0, 0.0, 0.0)

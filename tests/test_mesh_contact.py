@@ -1,0 +1,175 @@
+"""Mesh narrowphase (beyond reference: the reference's geometry.hpp:30-38
+defines a mesh type id with no narrowphase; plane/sphere-vs-mesh here are
+original, opt-in via Mesh.max_contacts).
+
+Oracle: a unit-cube OBJ, whose plane contacts are exactly its corners —
+directly comparable to analytic corner positions under any rotation.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tds_tpu.algebra.transform import Transform
+from tds_tpu.collision import narrowphase
+from tds_tpu.contact.mlcp import ContactSolverParams
+from tds_tpu.model.geometry import GeomAttachment, Mesh, Plane, Sphere
+from tds_tpu.model.multibody import MultiBodyBuilder
+from tds_tpu.world import build_world, make_ground_plane, world_step
+
+CUBE_OBJ = "\n".join(
+    f"v {sx} {sy} {sz}"
+    for sx in (-0.5, 0.5)
+    for sy in (-0.5, 0.5)
+    for sz in (-0.5, 0.5)
+) + "\nf 1 2 3\n"
+
+
+@pytest.fixture(scope="module")
+def cube_mesh(tmp_path_factory):
+    p = tmp_path_factory.mktemp("mesh") / "cube.obj"
+    p.write_text(CUBE_OBJ)
+    return Mesh(file_name=str(p), max_contacts=4)
+
+
+def _identity(pos, dtype=jnp.float64):
+    return Transform(
+        pos=jnp.asarray(pos, dtype), rot=jnp.eye(3, dtype=dtype)
+    )
+
+
+def test_mesh_opt_in_gating(cube_mesh):
+    plane = Plane((0.0, 0.0, 1.0), 0.0)
+    visual_only = dataclasses.replace(cube_mesh, max_contacts=0)
+    assert not narrowphase.supported(plane, visual_only)
+    assert not narrowphase.supported(visual_only, plane)
+    assert narrowphase.supported(plane, cube_mesh)
+    assert narrowphase.supported(cube_mesh, plane)
+    assert narrowphase.supported(Sphere(0.1), cube_mesh)
+
+
+def test_plane_mesh_axis_aligned(cube_mesh):
+    plane = Plane((0.0, 0.0, 1.0), 0.0)
+    c = narrowphase.compute_contacts(
+        plane, _identity((0, 0, 0)), cube_mesh, _identity((0, 0, 0.45))
+    )
+    assert c.count == 4
+    # the four bottom corners, each penetrating by 0.05
+    np.testing.assert_allclose(np.asarray(c.distance), -0.05, atol=1e-12)
+    np.testing.assert_allclose(
+        np.sort(np.asarray(c.point_b)[:, 2]), [-0.05] * 4, atol=1e-12
+    )
+    corners = {(round(float(x), 6), round(float(y), 6))
+               for x, y, _ in np.asarray(c.point_b)}
+    assert corners == {(-0.5, -0.5), (-0.5, 0.5), (0.5, -0.5), (0.5, 0.5)}
+    np.testing.assert_allclose(
+        np.asarray(c.normal_on_b), [[0, 0, -1.0]] * 4, atol=1e-12
+    )
+
+
+def test_plane_mesh_rotated_cube(cube_mesh):
+    # 45 deg about x: the cube rests on an edge; the two deepest vertices
+    # sit at z_center - sqrt(2)/2
+    plane = Plane((0.0, 0.0, 1.0), 0.0)
+    a = np.pi / 4
+    rot = jnp.asarray(
+        [[1, 0, 0],
+         [0, np.cos(a), -np.sin(a)],
+         [0, np.sin(a), np.cos(a)]], jnp.float64
+    )
+    z0 = 0.65
+    c = narrowphase.compute_contacts(
+        plane, _identity((0, 0, 0)), cube_mesh,
+        Transform(pos=jnp.asarray([0.0, 0.0, z0], jnp.float64), rot=rot),
+    )
+    d = np.sort(np.asarray(c.distance))
+    expected_deepest = z0 - np.sqrt(2.0) / 2.0
+    np.testing.assert_allclose(d[:2], expected_deepest, atol=1e-12)
+    # next four vertices sit exactly at z0 (the cube's mid-height ring)
+    np.testing.assert_allclose(d[2:4], z0, atol=1e-12)
+
+
+def test_plane_mesh_matches_mesh_plane_flip(cube_mesh):
+    plane = Plane((0.0, 0.0, 1.0), 0.0)
+    xp, xm = _identity((0, 0, 0)), _identity((0, 0, 0.4))
+    ab = narrowphase.compute_contacts(plane, xp, cube_mesh, xm)
+    ba = narrowphase.compute_contacts(cube_mesh, xm, plane, xp)
+    np.testing.assert_allclose(
+        np.asarray(ab.normal_on_b), -np.asarray(ba.normal_on_b)
+    )
+    np.testing.assert_allclose(np.asarray(ab.point_a), np.asarray(ba.point_b))
+    np.testing.assert_allclose(np.asarray(ab.distance), np.asarray(ba.distance))
+
+
+def test_sphere_mesh_nearest_vertex(cube_mesh):
+    one = dataclasses.replace(cube_mesh, max_contacts=1)
+    sphere = Sphere(0.25)
+    # sphere centered above the (0.5, 0.5, 0.5) corner
+    c = narrowphase.compute_contacts(
+        sphere, _identity((0.5, 0.5, 1.0)), one, _identity((0, 0, 0))
+    )
+    assert c.count == 1
+    np.testing.assert_allclose(
+        np.asarray(c.point_b)[0], [0.5, 0.5, 0.5], atol=1e-12
+    )
+    np.testing.assert_allclose(float(c.distance[0]), 0.5 - 0.25, atol=1e-12)
+    np.testing.assert_allclose(
+        np.asarray(c.normal_on_b)[0], [0, 0, 1.0], atol=1e-12
+    )
+
+
+def test_batched_plane_mesh_matches_loop(cube_mesh):
+    plane = Plane((0.0, 0.0, 1.0), 0.0)
+    zs = jnp.asarray([0.3, 0.45, 0.7, 1.2], jnp.float64)
+
+    def single(z):
+        pos = jnp.stack([jnp.zeros_like(z), jnp.zeros_like(z), z], axis=-1)
+        x = Transform(pos=pos, rot=jnp.eye(3, dtype=jnp.float64))
+        return narrowphase.compute_contacts(
+            plane, _identity((0, 0, 0)), cube_mesh, x
+        )
+
+    batched = jax.vmap(single)(zs)
+    for i, z in enumerate(zs):
+        one = single(z)
+        np.testing.assert_allclose(
+            np.asarray(batched.distance)[i], np.asarray(one.distance)
+        )
+
+
+def test_mesh_cube_settles_on_plane(cube_mesh):
+    # end-to-end: a rigid cube (mesh collision) dropped on the ground
+    # through the full MLCP pipeline settles with its bottom face at z=0
+    b = MultiBodyBuilder(is_floating=True, name="mesh_cube")
+    mass = 1.0
+    inertia = mass / 6.0  # solid cube, edge 1
+    b.set_base_inertia(mass, (0, 0, 0), np.diag([inertia] * 3))
+    cube = b.finalize()
+    geom = GeomAttachment(
+        link_index=-1, shape=cube_mesh, friction=0.8, restitution=0.0
+    )
+    plane_model, plane_geoms = make_ground_plane()
+    world = build_world(
+        [(plane_model, plane_geoms), (cube, (geom,))],
+        solver=ContactSolverParams(friction=0.8, restitution=0.0),
+    )
+    q = cube.zero_q().at[6].set(0.55)
+    qs, qds = (jnp.zeros(0), q), (jnp.zeros(0), cube.zero_qd())
+    taus = (jnp.zeros(0), jnp.zeros(0))
+    gravity = jnp.asarray([0.0, 0.0, -9.81])
+
+    def step(carry, _):
+        qs, qds = carry
+        qs, qds = world_step(world, qs, qds, taus, gravity, 1e-3)
+        return (qs, qds), None
+
+    (qs, qds), _ = jax.lax.scan(step, (qs, qds), None, length=1500)
+    qf, qdf = np.asarray(qs[1]), np.asarray(qds[1])
+    assert np.all(np.isfinite(qf))
+    assert abs(qf[6] - 0.5) < 0.02, f"cube center z={qf[6]:.4f}, expected ~0.5"
+    assert np.max(np.abs(qdf)) < 0.05, "cube did not come to rest"
+    # no rotation should have accumulated (flat drop)
+    np.testing.assert_allclose(qf[0:4], [0, 0, 0, 1.0], atol=5e-3)
