@@ -42,6 +42,7 @@ class LocomotionEnv(Env):
         solver: ContactSolverParams = ContactSolverParams(),
         contact_model: str = "mlcp",
         skip_links: Optional[int] = None,
+        terrain=None,
     ):
         self.model = model
         self.dt = dt
@@ -59,7 +60,20 @@ class LocomotionEnv(Env):
         if skip_links is None:
             skip_links = 0 if model.is_floating else 6
         self.skip_links = skip_links
-        plane_model, plane_geoms = make_ground_plane()
+        # ground body in the robot's dtype: the mesh narrowphase derives its
+        # working dtype from the GROUND body's transform (unlike the plane,
+        # whose transform is never read), so an f64 ground under x64 would
+        # promote qd through the contact impulses
+        plane_model, plane_geoms = make_ground_plane(
+            dtype=model.x_t_pos.dtype
+        )
+        if terrain is not None:
+            # beyond reference: walk on a triangle-mesh terrain instead of
+            # the infinite plane (a Mesh with max_contacts > 0, collided
+            # per-toe by the triangle-accurate sphere_mesh narrowphase)
+            from tds_tpu.model.geometry import GeomAttachment
+
+            plane_geoms = (GeomAttachment(link_index=-1, shape=terrain),)
         self.world = build_world(
             [(plane_model, plane_geoms), (model, tuple(geoms))],
             solver=solver,

@@ -20,12 +20,23 @@ from tds_tpu.model.geometry import GeomAttachment, Mesh, Plane, Sphere
 from tds_tpu.model.multibody import MultiBodyBuilder
 from tds_tpu.world import build_world, make_ground_plane, world_step
 
+# unit cube: vertices 1..8 = (-/+0.5)^3 in x-major order, 12 triangles
 CUBE_OBJ = "\n".join(
     f"v {sx} {sy} {sz}"
     for sx in (-0.5, 0.5)
     for sy in (-0.5, 0.5)
     for sz in (-0.5, 0.5)
-) + "\nf 1 2 3\n"
+) + "\n" + "\n".join(
+    f"f {a} {b} {c}"
+    for a, b, c in [
+        (1, 3, 7), (1, 7, 5),  # bottom z-
+        (2, 6, 8), (2, 8, 4),  # top z+
+        (1, 2, 4), (1, 4, 3),  # x-
+        (5, 7, 8), (5, 8, 6),  # x+
+        (1, 5, 6), (1, 6, 2),  # y-
+        (3, 4, 8), (3, 8, 7),  # y+
+    ]
+) + "\n"
 
 
 @pytest.fixture(scope="module")
@@ -104,10 +115,11 @@ def test_plane_mesh_matches_mesh_plane_flip(cube_mesh):
     np.testing.assert_allclose(np.asarray(ab.distance), np.asarray(ba.distance))
 
 
-def test_sphere_mesh_nearest_vertex(cube_mesh):
+def test_sphere_mesh_vertex_contact(cube_mesh):
     one = dataclasses.replace(cube_mesh, max_contacts=1)
     sphere = Sphere(0.25)
-    # sphere centered above the (0.5, 0.5, 0.5) corner
+    # sphere centered above the (0.5, 0.5, 0.5) corner: the closest
+    # feature is that vertex
     c = narrowphase.compute_contacts(
         sphere, _identity((0.5, 0.5, 1.0)), one, _identity((0, 0, 0))
     )
@@ -118,6 +130,49 @@ def test_sphere_mesh_nearest_vertex(cube_mesh):
     np.testing.assert_allclose(float(c.distance[0]), 0.5 - 0.25, atol=1e-12)
     np.testing.assert_allclose(
         np.asarray(c.normal_on_b)[0], [0, 0, 1.0], atol=1e-12
+    )
+
+
+def test_sphere_mesh_face_contact(cube_mesh):
+    # sphere above the top-face CENTER: no vertex nearby — the
+    # triangle-accurate narrowphase must find the interior face point
+    # (a vertex-sampled one reports sqrt(0.5^2+0.5^2+0.2^2)-r ~ 0.48)
+    one = dataclasses.replace(cube_mesh, max_contacts=1)
+    sphere = Sphere(0.1)
+    c = narrowphase.compute_contacts(
+        sphere, _identity((0.0, 0.0, 0.7)), one, _identity((0, 0, 0))
+    )
+    np.testing.assert_allclose(
+        np.asarray(c.point_b)[0], [0.0, 0.0, 0.5], atol=1e-12
+    )
+    np.testing.assert_allclose(float(c.distance[0]), 0.2 - 0.1, atol=1e-12)
+    np.testing.assert_allclose(
+        np.asarray(c.normal_on_b)[0], [0, 0, 1.0], atol=1e-12
+    )
+    # overlapping case activates (negative distance)
+    c2 = narrowphase.compute_contacts(
+        sphere, _identity((0.1, -0.2, 0.55)), one, _identity((0, 0, 0))
+    )
+    np.testing.assert_allclose(float(c2.distance[0]), 0.05 - 0.1, atol=1e-12)
+
+
+def test_sphere_mesh_edge_contact(cube_mesh):
+    # sphere beside the top x+ edge (x=0.5, z=0.5), offset diagonally
+    one = dataclasses.replace(cube_mesh, max_contacts=1)
+    sphere = Sphere(0.05)
+    d = 0.3
+    c = narrowphase.compute_contacts(
+        sphere, _identity((0.5 + d, 0.1, 0.5 + d)), one, _identity((0, 0, 0))
+    )
+    np.testing.assert_allclose(
+        np.asarray(c.point_b)[0], [0.5, 0.1, 0.5], atol=1e-12
+    )
+    np.testing.assert_allclose(
+        float(c.distance[0]), d * np.sqrt(2.0) - 0.05, atol=1e-12
+    )
+    expected_n = np.asarray([1.0, 0.0, 1.0]) / np.sqrt(2.0)
+    np.testing.assert_allclose(
+        np.asarray(c.normal_on_b)[0], expected_n, atol=1e-12
     )
 
 
