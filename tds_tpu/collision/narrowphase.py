@@ -329,6 +329,118 @@ def sphere_mesh(sa: Sphere, xa: Transform, mb: Mesh, xb: Transform) -> Contact:
     )
 
 
+def capsule_mesh(ca: Capsule, xa: Transform, mb: Mesh, xb: Transform) -> Contact:
+    """Two sphere probes at the capsule axis endpoints vs the mesh — the
+    reference's own plane-capsule discipline (contact_point.hpp:128-161)
+    applied to triangle meshes. Emits 2*max_contacts candidates."""
+    half = 0.5 * ca.length
+    sphere = Sphere(ca.radius)
+    pts = []
+    for sz in (half, -half):
+        local = jnp.asarray([0.0, 0.0, sz], dtype=xa.pos.dtype)
+        center = xa.apply_point(local)
+        pts.append(
+            sphere_mesh(sphere, Transform(pos=center, rot=xa.rot), mb, xb)
+        )
+    return Contact.concatenate(pts)
+
+
+def box_mesh(ba: Box, xa: Transform, mb: Mesh, xb: Transform) -> Contact:
+    """Eight shrunk corner-sphere probes vs the mesh — the reference's
+    plane-box discipline (contact_point.hpp:164-198, corners
+    geometry.hpp:244). Emits 8*max_contacts candidates."""
+    r = max(1e-2, getattr(ba, "radius", 0.0) or 1e-2)
+    sphere = Sphere(r)
+    he = [0.5 * e - r for e in ba.extents]
+    pts = []
+    for sx in (1.0, -1.0):
+        for sy in (1.0, -1.0):
+            for sz in (1.0, -1.0):
+                local = jnp.asarray(
+                    [sx * he[0], sy * he[1], sz * he[2]], dtype=xa.pos.dtype
+                )
+                center = xa.apply_point(local)
+                pts.append(
+                    sphere_mesh(
+                        sphere, Transform(pos=center, rot=xa.rot), mb, xb
+                    )
+                )
+    return Contact.concatenate(pts)
+
+
+def _triangle_normals(ta, tb, tc):
+    """Outward unit normals assuming consistent CCW winding."""
+    from tds_tpu.algebra.spatial import safe_norm
+
+    n = jnp.cross(tb - ta, tc - ta)
+    return n / jnp.maximum(safe_norm(n, axis=-1), 1e-12)[..., None]
+
+
+def mesh_mesh(ma: Mesh, xa: Transform, mbb: Mesh, xb: Transform) -> Contact:
+    """Vertex-vs-surface mesh-mesh contact, both directions (the reference
+    has NO mesh narrowphase at all; this goes beyond it).
+
+    For each vertex of A: branchless closest point over B's triangles; the
+    penetration sign comes from the nearest triangle's outward normal
+    (exact for convex B, a good local test for well-formed closed meshes
+    with consistent CCW winding). Symmetrically for B's vertices against
+    A's triangles. Emits max_contacts candidates per direction; like every
+    pair function here, candidates always exist and activity is decided by
+    the distance mask downstream.
+
+    Known limit: a probe vertex lying exactly ON the other surface (e.g.
+    equal-size axis-aligned cubes whose side planes coincide) measures
+    distance 0 to the coincident face, which can mask a deeper penetration
+    through another face — vertex-sampled signed distance is local. Scale-
+    or pose-differentiated geometry (the generic case) behaves well."""
+    from tds_tpu.algebra.spatial import safe_norm
+
+    def directed(mesh_pts: Mesh, xp: Transform, mesh_surf: Mesh, xs: Transform):
+        k = int(max(mesh_pts.max_contacts, mesh_surf.max_contacts))
+        p = _world_vertices(mesh_pts, xp)  # (…, V, 3) probing vertices
+        verts, tris = _mesh_data(mesh_surf.file_name, mesh_surf.scale)
+        w = _world_vertices(mesh_surf, xs)
+        ta = jnp.take(w, jnp.asarray(tris[:, 0]), axis=-2)
+        tb = jnp.take(w, jnp.asarray(tris[:, 1]), axis=-2)
+        tc = jnp.take(w, jnp.asarray(tris[:, 2]), axis=-2)
+        nrm = _triangle_normals(ta, tb, tc)  # (…, T, 3)
+        # closest point of every triangle to every probe vertex
+        closest = _closest_point_on_triangles(
+            p[..., :, None, :], ta[..., None, :, :], tb[..., None, :, :],
+            tc[..., None, :, :],
+        )  # (…, V, T, 3)
+        diff = p[..., :, None, :] - closest
+        dist = safe_norm(diff, axis=-1)  # (…, V, T)
+        tmin = jnp.argmin(dist, axis=-1)  # (…, V) nearest triangle
+        d_near = jnp.take_along_axis(dist, tmin[..., None], axis=-1)[..., 0]
+        c_near = jnp.take_along_axis(
+            closest, tmin[..., None, None], axis=-2
+        )[..., 0, :]
+        nrm_b = jnp.broadcast_to(nrm[..., None, :, :], closest.shape)
+        n_near = jnp.take_along_axis(
+            nrm_b, tmin[..., None, None], axis=-2
+        )[..., 0, :]
+        side = jnp.sign(
+            jnp.sum((p - c_near) * n_near, axis=-1)
+        )
+        side = jnp.where(side == 0, 1.0, side)
+        signed = side * d_near  # negative = vertex inside B
+        neg_sd, idx = jax.lax.top_k(-signed, k)
+        distance = -neg_sd
+        point_s = jnp.take_along_axis(c_near, idx[..., None], axis=-2)
+        point_p = jnp.take_along_axis(p, idx[..., None], axis=-2)
+        normal = jnp.take_along_axis(n_near, idx[..., None], axis=-2)
+        return point_p, point_s, normal, distance
+
+    # A's vertices into B's surface: normal on b = B's outward normal
+    pa1, pb1, n1, d1 = directed(ma, xa, mbb, xb)
+    c1 = Contact(normal_on_b=n1, point_a=pa1, point_b=pb1, distance=d1)
+    # B's vertices into A's surface: computed with roles swapped, flip back
+    pb2, pa2, n2, d2 = directed(mbb, xb, ma, xa)
+    c2 = Contact(normal_on_b=-n2, point_a=pa2, point_b=pb2, distance=d2)
+    return Contact.concatenate([c1, c2])
+
+
 def flip(contact: Contact) -> Contact:
     """Swap roles of a and b (the dispatcher's reversed-pair handling,
     contact_point.hpp:445-506)."""
@@ -349,6 +461,9 @@ _PAIR_TABLE = {
     (Capsule, Sphere): (capsule_sphere, False),
     (Plane, Mesh): (plane_mesh, False),
     (Sphere, Mesh): (sphere_mesh, False),
+    (Capsule, Mesh): (capsule_mesh, False),
+    (Box, Mesh): (box_mesh, False),
+    (Mesh, Mesh): (mesh_mesh, False),
     # reversed pairs
     (Sphere, Plane): (plane_sphere, True),
     (Capsule, Plane): (plane_capsule, True),
@@ -357,6 +472,8 @@ _PAIR_TABLE = {
     (Sphere, Capsule): (capsule_sphere, True),
     (Mesh, Plane): (plane_mesh, True),
     (Mesh, Sphere): (sphere_mesh, True),
+    (Mesh, Capsule): (capsule_mesh, True),
+    (Mesh, Box): (box_mesh, True),
 }
 
 

@@ -176,6 +176,99 @@ def test_sphere_mesh_edge_contact(cube_mesh):
     )
 
 
+def test_capsule_mesh_endpoint_probes(cube_mesh):
+    from tds_tpu.model.geometry import Capsule
+
+    one = dataclasses.replace(cube_mesh, max_contacts=1)
+    # vertical capsule above the top face: bottom endpoint probe closest
+    cap = Capsule(radius=0.1, length=0.4)
+    c = narrowphase.compute_contacts(
+        cap, _identity((0.0, 0.0, 0.9)), one, _identity((0, 0, 0))
+    )
+    assert c.count == 2
+    d = np.sort(np.asarray(c.distance))
+    # bottom endpoint center z=0.7: dist = 0.2 - 0.1; top z=1.1: 0.6 - 0.1
+    np.testing.assert_allclose(d, [0.1, 0.5], atol=1e-12)
+
+
+def test_box_mesh_corner_probes(cube_mesh):
+    from tds_tpu.model.geometry import Box
+
+    one = dataclasses.replace(cube_mesh, max_contacts=1)
+    box = Box((0.2, 0.2, 0.2))
+    # small box hovering 0.05 above the top face center
+    c = narrowphase.compute_contacts(
+        box, _identity((0.0, 0.0, 0.65)), one, _identity((0, 0, 0))
+    )
+    assert c.count == 8
+    d = np.sort(np.asarray(c.distance))
+    # 4 bottom corner-sphere probes (r=0.01, shrunk half-extent 0.09):
+    # centers z=0.56 -> distance 0.06-0.01=0.05; top probes z=0.74 -> 0.23
+    np.testing.assert_allclose(d[:4], 0.05, atol=1e-9)
+    np.testing.assert_allclose(d[4:], 0.23, atol=1e-9)
+
+
+def test_mesh_mesh_separated_and_penetrating(cube_mesh):
+    m = dataclasses.replace(cube_mesh, max_contacts=4)
+    # a half-size cube above a unit cube (equal sizes would put probe
+    # vertices exactly on the lower cube's side planes — the documented
+    # coincident-face degeneracy)
+    small = dataclasses.replace(m, scale=(0.5, 0.5, 0.5))
+    # separated by 0.05: all distances positive (no activation)
+    c = narrowphase.compute_contacts(
+        small, _identity((0, 0, 0.80)), m, _identity((0, 0, 0))
+    )
+    assert c.count == 8  # 4 per direction
+    assert float(jnp.min(c.distance)) > 0.045
+    # overlapping by 0.05: the small cube's 4 bottom vertices are inside
+    c2 = narrowphase.compute_contacts(
+        small, _identity((0, 0, 0.70)), m, _identity((0, 0, 0))
+    )
+    d2 = np.sort(np.asarray(c2.distance))
+    np.testing.assert_allclose(d2[:4], -0.05, atol=1e-9)
+    # normals on b point up (+z, out of the lower cube) for the deepest 4
+    order = np.argsort(np.asarray(c2.distance))[:4]
+    normals = np.asarray(c2.normal_on_b)[order]
+    np.testing.assert_allclose(normals[:, 2], 1.0, atol=1e-9)
+
+
+def test_mesh_cube_stacks_on_static_mesh_cube(cube_mesh):
+    # end-to-end mesh-vs-mesh: a dynamic mesh cube dropped onto a STATIC
+    # mesh cube settles stacked (the reference has no mesh narrowphase at
+    # all, let alone mesh-mesh)
+    m = dataclasses.replace(cube_mesh, max_contacts=4)
+    # dynamic cube is 0.6-scale so its vertices stay off the static cube's
+    # side planes (see the coincident-face note in mesh_mesh)
+    small = dataclasses.replace(m, scale=(0.6, 0.6, 0.6))
+    b = MultiBodyBuilder(is_floating=True, name="mesh_cube_dyn")
+    b.set_base_inertia(1.0, (0, 0, 0), np.diag([0.36 / 6.0] * 3))
+    cube = b.finalize()
+    static_model = MultiBodyBuilder(name="mesh_cube_static").finalize()
+    static_geom = GeomAttachment(
+        link_index=-1, shape=m, pos=(0.0, 0.0, 0.5), friction=0.8
+    )
+    dyn_geom = GeomAttachment(link_index=-1, shape=small, friction=0.8)
+    world = build_world(
+        [(static_model, (static_geom,)), (cube, (dyn_geom,))],
+        solver=ContactSolverParams(friction=0.8, restitution=0.0),
+    )
+    q = cube.zero_q().at[6].set(1.35)
+    qs, qds = (jnp.zeros(0), q), (jnp.zeros(0), cube.zero_qd())
+    taus = (jnp.zeros(0), jnp.zeros(0))
+    gravity = jnp.asarray([0.0, 0.0, -9.81])
+
+    def step(carry, _):
+        qs, qds = carry
+        qs, qds = world_step(world, qs, qds, taus, gravity, 1e-3)
+        return (qs, qds), None
+
+    (qs, qds), _ = jax.lax.scan(step, (qs, qds), None, length=1200)
+    qf, qdf = np.asarray(qs[1]), np.asarray(qds[1])
+    assert np.all(np.isfinite(qf))
+    assert abs(qf[6] - 1.3) < 0.03, f"stack height z={qf[6]:.4f}, expected ~1.3"
+    assert np.max(np.abs(qdf)) < 0.1, "stacked cube did not come to rest"
+
+
 def test_batched_plane_mesh_matches_loop(cube_mesh):
     plane = Plane((0.0, 0.0, 1.0), 0.0)
     zs = jnp.asarray([0.3, 0.45, 0.7, 1.2], jnp.float64)
