@@ -23,19 +23,29 @@ def load_document(name: str):
     return _DOC_CACHE[path]
 
 
-def construct(name: str, is_floating: bool = False, dtype=None):
-    """Returns (MultiBodyModel, collision attachments), cached."""
+def construct(name: str, is_floating: bool = False, dtype=None,
+              mesh_contacts: int = 0):
+    """Returns (MultiBodyModel, collision attachments), cached.
+
+    ``mesh_contacts > 0`` opts URDF collision meshes into the mesh
+    narrowphase with that many contact candidates per pair (beyond
+    reference; default 0 keeps meshes visual-only, matching TDS)."""
     path = find_file(name)
-    key = (path, is_floating, str(dtype))
+    key = (path, is_floating, str(dtype), mesh_contacts)
     if key not in _MODEL_CACHE:
         doc = load_document(path)
-        _MODEL_CACHE[key] = convert_to_multibody(doc, is_floating, dtype)
+        _MODEL_CACHE[key] = convert_to_multibody(
+            doc, is_floating, dtype, mesh_contacts=mesh_contacts
+        )
     return _MODEL_CACHE[key]
 
 
-def construct_from_string(text: str, is_floating: bool = False, dtype=None):
+def construct_from_string(text: str, is_floating: bool = False, dtype=None,
+                          mesh_contacts: int = 0):
     doc = parse_urdf_string(text)
-    return convert_to_multibody(doc, is_floating, dtype)
+    return convert_to_multibody(
+        doc, is_floating, dtype, mesh_contacts=mesh_contacts
+    )
 
 
 def clear_cache():

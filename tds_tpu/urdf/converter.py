@@ -86,7 +86,7 @@ def _joint_type(urdf_type: str, axis) -> Tuple[JointType, Tuple[float, float, fl
     raise ValueError(f"cannot convert joint type {urdf_type!r}")
 
 
-def _shape(geom):
+def _shape(geom, mesh_contacts: int = 0):
     t = geom.geom_type
     if t == "sphere":
         return Sphere(geom.radius)
@@ -99,7 +99,12 @@ def _shape(geom):
     if t == "plane":
         return Plane(tuple(geom.normal), geom.constant)
     if t == "mesh":
-        return Mesh(geom.mesh_file, tuple(geom.mesh_scale))
+        # mesh_contacts > 0 opts the shape into the mesh narrowphase
+        # (beyond reference; 0 keeps meshes visual-only as TDS does)
+        return Mesh(
+            geom.mesh_file, tuple(geom.mesh_scale),
+            max_contacts=mesh_contacts,
+        )
     raise ValueError(f"unknown geometry {t!r}")
 
 
@@ -109,6 +114,7 @@ def convert_to_multibody(
     dtype=None,
     use_joint_damping: bool = False,
     inertia_convention: str = "reference",
+    mesh_contacts: int = 0,
 ) -> Tuple[MultiBodyModel, Tuple[GeomAttachment, ...]]:
     """Returns (model, collision attachments). Collision shapes for the base
     use link_index=-1."""
@@ -121,12 +127,14 @@ def convert_to_multibody(
 
     geoms: List[GeomAttachment] = []
     for col in base.collisions:
-        if col.geometry.geom_type == "mesh":
+        if col.geometry.geom_type == "mesh" and mesh_contacts <= 0:
+            # reference parity: collision meshes are ignored unless the
+            # caller opts into the mesh narrowphase (mesh_contacts > 0)
             continue
         geoms.append(
             GeomAttachment(
                 link_index=-1,
-                shape=_shape(col.geometry),
+                shape=_shape(col.geometry, mesh_contacts),
                 pos=tuple(col.origin_xyz),
                 rpy=tuple(col.origin_rpy),
                 friction=base.contact.lateral_friction,
@@ -154,12 +162,12 @@ def convert_to_multibody(
             joint_name=joint.joint_name,
         )
         for col in link.collisions:
-            if col.geometry.geom_type == "mesh":
+            if col.geometry.geom_type == "mesh" and mesh_contacts <= 0:
                 continue
             geoms.append(
                 GeomAttachment(
                     link_index=i,
-                    shape=_shape(col.geometry),
+                    shape=_shape(col.geometry, mesh_contacts),
                     pos=tuple(col.origin_xyz),
                     rpy=tuple(col.origin_rpy),
                     friction=link.contact.lateral_friction,

@@ -321,3 +321,34 @@ def test_mesh_cube_settles_on_plane(cube_mesh):
     assert np.max(np.abs(qdf)) < 0.05, "cube did not come to rest"
     # no rotation should have accumulated (flat drop)
     np.testing.assert_allclose(qf[0:4], [0, 0, 0, 1.0], atol=5e-3)
+
+
+def test_urdf_mesh_contacts_opt_in(cube_mesh, tmp_path):
+    # construct(..., mesh_contacts=K) opts URDF collision meshes into the
+    # narrowphase; the default keeps them visual-only (reference parity)
+    from tds_tpu.urdf.cache import construct_from_string
+
+    urdf = f"""
+    <robot name="meshbot">
+      <link name="base">
+        <inertial>
+          <mass value="1.0"/>
+          <inertia ixx="0.1" iyy="0.1" izz="0.1" ixy="0" ixz="0" iyz="0"/>
+        </inertial>
+        <collision>
+          <geometry><mesh filename="{cube_mesh.file_name}"/></geometry>
+        </collision>
+      </link>
+    </robot>"""
+    _, geoms0 = construct_from_string(urdf)
+    assert geoms0 == ()  # reference parity: collision meshes ignored
+    plane = Plane((0.0, 0.0, 1.0), 0.0)
+
+    _, geoms2 = construct_from_string(urdf, mesh_contacts=2)
+    assert geoms2[0].shape.max_contacts == 2
+    assert narrowphase.supported(plane, geoms2[0].shape)
+    c = narrowphase.compute_contacts(
+        plane, _identity((0, 0, 0)), geoms2[0].shape, _identity((0, 0, 0.4))
+    )
+    assert c.count == 2
+    np.testing.assert_allclose(np.asarray(c.distance), -0.1, atol=1e-12)
