@@ -29,8 +29,18 @@ from tds_tpu.dynamics import (
 from tds_tpu.dynamics.inverse_dynamics import inverse_dynamics
 from tds_tpu.dynamics.jacobian import point_jacobian
 from tds_tpu.dynamics.mass_matrix import mass_matrix
+from tds_tpu.model.geometry import (
+    Box,
+    Capsule,
+    Cylinder,
+    GeomAttachment,
+    Mesh,
+    Plane,
+    Sphere,
+)
 from tds_tpu.model.joints import JointType
 from tds_tpu.model.multibody import MultiBodyBuilder, MultiBodyModel, MultiBodyState
+from tds_tpu.urdf.cache import construct as load_urdf
 from tds_tpu.world import World, build_world, make_ground_plane, world_step
 
 __version__ = "0.1.0"
