@@ -352,3 +352,53 @@ def test_urdf_mesh_contacts_opt_in(cube_mesh, tmp_path):
     )
     assert c.count == 2
     np.testing.assert_allclose(np.asarray(c.distance), -0.1, atol=1e-12)
+
+
+def test_mesh_narrowphase_gradients_match_fd(cube_mesh, tmp_path):
+    # the where-chain closest-point-on-triangle must be cleanly
+    # differentiable (no NaN subgradients at region boundaries we don't
+    # sit on): grad of min contact distance wrt sphere position and mesh
+    # rotation vs central finite differences
+    import math
+
+    from tds_tpu.utils.terrain import write_heightfield
+
+    path = write_heightfield(
+        str(tmp_path / "grad_terrain.obj"), 7, 7, (-1, 1), (-1, 1),
+        lambda x, y: 0.1 * math.sin(2 * x) * math.cos(y),
+    )
+    m = Mesh(file_name=path, max_contacts=3)
+    eye = jnp.eye(3, dtype=jnp.float64)
+    origin = Transform(pos=jnp.zeros(3, jnp.float64), rot=eye)
+
+    def min_dist(p):
+        c = narrowphase.compute_contacts(
+            Sphere(0.05), Transform(pos=p, rot=eye), m, origin
+        )
+        return jnp.min(c.distance)
+
+    p0 = jnp.asarray([0.13, -0.21, 0.4], jnp.float64)
+    g = np.asarray(jax.grad(min_dist)(p0))
+    eps = 1e-6
+    fd = np.array([
+        (min_dist(p0.at[i].add(eps)) - min_dist(p0.at[i].add(-eps)))
+        / (2 * eps)
+        for i in range(3)
+    ])
+    np.testing.assert_allclose(g, fd, atol=1e-8)
+
+    def dist_vs_rotation(theta):
+        c, s = jnp.cos(theta), jnp.sin(theta)
+        rot = jnp.asarray([[c, -s, 0], [s, c, 0], [0, 0, 1.0]], jnp.float64)
+        cc = narrowphase.compute_contacts(
+            Sphere(0.05), Transform(pos=p0, rot=eye), m,
+            Transform(pos=jnp.zeros(3, jnp.float64), rot=rot),
+        )
+        return jnp.min(cc.distance)
+
+    th = jnp.asarray(0.3, jnp.float64)
+    g2 = float(jax.grad(dist_vs_rotation)(th))
+    fd2 = float(
+        (dist_vs_rotation(th + eps) - dist_vs_rotation(th - eps)) / (2 * eps)
+    )
+    assert abs(g2 - fd2) < 1e-8
