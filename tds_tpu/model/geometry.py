@@ -102,7 +102,26 @@ class Mesh:
     max_contacts: int = 0
 
     def local_inertia(self, mass: float):
-        return (0.0, 0.0, 0.0)
+        """Principal-diagonal inertia of the SOLID mesh scaled to ``mass``
+        via the native signed-tetrahedron decomposition (beyond reference:
+        TDS returns nothing for meshes). Falls back to zeros if the file
+        is missing so visual-only meshes stay harmless."""
+        try:
+            from tds_tpu.collision.narrowphase import _mesh_data
+            from tds_tpu.native.mesh import mesh_mass_properties
+
+            verts, tris = _mesh_data(self.file_name, self.scale)
+            m0, _, inertia = mesh_mass_properties(verts, tris, density=1.0)
+            if m0 <= 0.0:
+                return (0.0, 0.0, 0.0)
+            s = mass / m0
+            return (
+                float(inertia[0, 0] * s),
+                float(inertia[1, 1] * s),
+                float(inertia[2, 2] * s),
+            )
+        except (OSError, ValueError):
+            return (0.0, 0.0, 0.0)
 
 
 @dataclasses.dataclass(frozen=True)

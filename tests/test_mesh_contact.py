@@ -402,3 +402,11 @@ def test_mesh_narrowphase_gradients_match_fd(cube_mesh, tmp_path):
         (dist_vs_rotation(th + eps) - dist_vs_rotation(th - eps)) / (2 * eps)
     )
     assert abs(g2 - fd2) < 1e-8
+
+
+def test_mesh_local_inertia_matches_analytic_cube(cube_mesh):
+    # solid unit cube of mass m: I = m/6 on the diagonal
+    ixx, iyy, izz = cube_mesh.local_inertia(2.4)
+    np.testing.assert_allclose([ixx, iyy, izz], 2.4 / 6.0, rtol=1e-9)
+    # missing file falls back to zeros (visual-only meshes stay harmless)
+    assert Mesh(file_name="/nonexistent.obj").local_inertia(1.0) == (0, 0, 0)
