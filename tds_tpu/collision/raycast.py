@@ -11,7 +11,7 @@ from typing import NamedTuple, Sequence, Tuple
 import jax.numpy as jnp
 
 from tds_tpu.algebra.transform import Transform
-from tds_tpu.model.geometry import Box, Plane, Sphere
+from tds_tpu.model.geometry import Box, Mesh, Plane, Sphere
 
 BIG = 1e30
 
@@ -69,6 +69,51 @@ def ray_box(origin, target, x: Transform, half_extents):
     return jnp.where(hit, tmin, BIG)
 
 
+def ray_mesh(origin, target, mesh: Mesh, x: Transform):
+    """Branchless Moller-Trumbore over the mesh's triangle set (beyond
+    reference: tiny_raycast.h has sphere/box/plane only). Returns
+    (fraction, world normal of the hit triangle oriented against the ray);
+    fraction BIG on miss. Triangles are trace-time constants."""
+    from tds_tpu.collision.narrowphase import _mesh_data, _world_vertices
+
+    verts, tris = _mesh_data(mesh.file_name, mesh.scale)
+    w = _world_vertices(mesh, x)  # (…, V, 3)
+    a = jnp.take(w, jnp.asarray(tris[:, 0]), axis=-2)
+    b = jnp.take(w, jnp.asarray(tris[:, 1]), axis=-2)
+    c = jnp.take(w, jnp.asarray(tris[:, 2]), axis=-2)
+    d = (target - origin)[..., None, :]  # (…, 1, 3)
+    o = origin[..., None, :]
+    e1 = b - a
+    e2 = c - a
+    h = jnp.cross(d, e2)
+    det = jnp.sum(e1 * h, axis=-1)
+    inv_det = 1.0 / jnp.where(jnp.abs(det) > 1e-12, det, 1e-12)
+    s = o - a
+    u = jnp.sum(s * h, axis=-1) * inv_det
+    q = jnp.cross(s, e1)
+    v = jnp.sum(d * q, axis=-1) * inv_det
+    t = jnp.sum(e2 * q, axis=-1) * inv_det
+    valid = (
+        (jnp.abs(det) > 1e-12)
+        & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0) & (t >= 0.0)
+    )
+    t = jnp.where(valid, t, BIG)  # (…, T)
+    imin = jnp.argmin(t, axis=-1)
+    tmin = jnp.take_along_axis(t, imin[..., None], axis=-1)[..., 0]
+    n_tri = jnp.cross(e1, e2)
+    n_tri = n_tri / jnp.maximum(
+        jnp.linalg.norm(n_tri, axis=-1, keepdims=True), 1e-12
+    )
+    n_hit = jnp.take_along_axis(
+        jnp.broadcast_to(n_tri, t.shape + (3,)), imin[..., None, None],
+        axis=-2,
+    )[..., 0, :]
+    # orient against the ray direction
+    flip_n = jnp.sign(jnp.sum(n_hit * d[..., 0, :], axis=-1))
+    n_hit = -n_hit * jnp.where(flip_n == 0, 1.0, flip_n)[..., None]
+    return tmin, n_hit
+
+
 def cast_rays(
     origins,
     targets,
@@ -105,6 +150,8 @@ def cast_rays(
                 jnp.arange(3) == axis[..., None]
             ).astype(origins.dtype)
             n = jnp.einsum("...ij,...j->...i", x.rot, n_local)
+        elif isinstance(shape, Mesh):
+            t, n = ray_mesh(origins, targets, shape, x)
         else:
             continue
         closer = t < best_t

@@ -410,3 +410,57 @@ def test_mesh_local_inertia_matches_analytic_cube(cube_mesh):
     np.testing.assert_allclose([ixx, iyy, izz], 2.4 / 6.0, rtol=1e-9)
     # missing file falls back to zeros (visual-only meshes stay harmless)
     assert Mesh(file_name="/nonexistent.obj").local_inertia(1.0) == (0, 0, 0)
+
+
+def test_ray_mesh_moller_trumbore(cube_mesh):
+    from tds_tpu.collision.raycast import cast_rays, ray_mesh
+
+    eye = jnp.eye(3, dtype=jnp.float64)
+    x = Transform(pos=jnp.zeros(3, jnp.float64), rot=eye)
+    # straight down onto the top face: hits z=0.5
+    o = jnp.asarray([0.1, -0.2, 2.0])
+    tgt = jnp.asarray([0.1, -0.2, 0.0])
+    t, n = ray_mesh(o, tgt, cube_mesh, x)
+    np.testing.assert_allclose(float(t), 0.75, atol=1e-12)  # 2.0 -> 0.5
+    np.testing.assert_allclose(np.asarray(n), [0, 0, 1.0], atol=1e-12)
+    # miss: ray beside the cube
+    t2, _ = ray_mesh(jnp.asarray([2.0, 2.0, 2.0]),
+                     jnp.asarray([2.0, 2.0, 0.0]), cube_mesh, x)
+    assert float(t2) > 1e29
+    # batched grid scan through cast_rays (LIDAR-style height sensing)
+    xs = jnp.linspace(-0.8, 0.8, 9)
+    origins = jnp.stack([xs, jnp.zeros(9), jnp.full((9,), 2.0)], axis=-1)
+    targets = origins.at[:, 2].set(-1.0)
+    hit = cast_rays(origins, targets, [cube_mesh], [x])
+    frac = np.asarray(hit.fraction)
+    inside = np.abs(np.asarray(xs)) <= 0.5
+    # over the cube: hit at z=0.5 -> fraction 0.5; outside: no cube hit
+    np.testing.assert_allclose(frac[inside], 0.5, atol=1e-12)
+    assert np.all(frac[~inside] > 1.0)
+    assert np.all(np.asarray(hit.geom_index)[inside] == 0)
+
+
+def test_mesh_cube_settles_with_spring_solver(cube_mesh):
+    # mesh contacts are solver-agnostic: the penalty spring-damper path
+    # settles the cube too (z -> 0.4997 with default spring stiffness)
+    b = MultiBodyBuilder(is_floating=True, name="mesh_cube_spring")
+    b.set_base_inertia(1.0, (0, 0, 0), np.diag([1.0 / 6.0] * 3))
+    cube = b.finalize()
+    geom = GeomAttachment(link_index=-1, shape=cube_mesh, friction=0.8)
+    pm, pg = make_ground_plane()
+    world = build_world([(pm, pg), (cube, (geom,))], contact_model="spring")
+    q = cube.zero_q().at[6].set(0.55)
+    qs, qds = (jnp.zeros(0), q), (jnp.zeros(0), cube.zero_qd())
+    taus = (jnp.zeros(0), jnp.zeros(0))
+    gravity = jnp.asarray([0.0, 0.0, -9.81])
+
+    def step(carry, _):
+        qs, qds = carry
+        qs, qds = world_step(world, qs, qds, taus, gravity, 1e-3)
+        return (qs, qds), None
+
+    (qs, qds), _ = jax.lax.scan(step, (qs, qds), None, length=1500)
+    qf = np.asarray(qs[1])
+    assert np.all(np.isfinite(qf))
+    assert abs(qf[6] - 0.5) < 0.01
+    assert np.max(np.abs(np.asarray(qds[1]))) < 1e-6
