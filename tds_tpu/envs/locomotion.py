@@ -43,6 +43,7 @@ class LocomotionEnv(Env):
         contact_model: str = "mlcp",
         skip_links: Optional[int] = None,
         terrain=None,
+        height_scan: Optional[Sequence[Tuple[float, float]]] = None,
     ):
         self.model = model
         self.dt = dt
@@ -79,6 +80,17 @@ class LocomotionEnv(Env):
             solver=solver,
             contact_model=contact_model,
         )
+        # optional exteroception: (x, y) body-frame offsets at which a
+        # vertical ray samples the terrain height; heights relative to the
+        # base join the observation (beyond reference — enables
+        # terrain-aware policies; needs terrain=Mesh(...))
+        self.height_scan = None
+        if height_scan is not None:
+            if terrain is None:
+                raise ValueError("height_scan requires terrain=Mesh(...)")
+            self.height_scan = jnp.asarray(height_scan)
+            self.terrain = terrain
+            self.observation_dim += len(height_scan)
 
     # -- dynamics ----------------------------------------------------------
     def sim_step(self, q, qd, action):
@@ -106,7 +118,47 @@ class LocomotionEnv(Env):
         return q, qd
 
     def observation(self, q, qd):
-        return jnp.concatenate([q, qd], axis=-1)
+        obs = jnp.concatenate([q, qd], axis=-1)
+        if self.height_scan is not None:
+            obs = jnp.concatenate([obs, self._scan_heights(q)], axis=-1)
+        return obs
+
+    def _base_yaw(self, q):
+        if self.model.is_floating:
+            x, y, z, w = (q[..., i] for i in range(4))
+            return jnp.arctan2(
+                2.0 * (w * z + x * y), 1.0 - 2.0 * (y * y + z * z)
+            )
+        return q[..., 5]  # rpy z of the xyz_xyzrot emulation chain
+
+    def _scan_heights(self, q):
+        """Terrain height under each scan point, relative to the base
+        height. Scan offsets are EGOCENTRIC (yaw-rotated body-frame x,y);
+        vertical Moller-Trumbore rays onto the terrain mesh; misses read
+        as BIG -> clipped to a deep-drop sentinel of -10."""
+        from tds_tpu.algebra.transform import Transform
+        from tds_tpu.collision.raycast import ray_mesh
+
+        pos, _ = self.base_pose_xyz_rpy(q)
+        offsets = self.height_scan.astype(q.dtype)  # (S, 2) body frame
+        yaw = self._base_yaw(q)
+        c, s = jnp.cos(yaw)[..., None], jnp.sin(yaw)[..., None]
+        ox, oy = offsets[..., 0], offsets[..., 1]
+        world_off = jnp.stack(
+            [c * ox - s * oy, s * ox + c * oy], axis=-1
+        )  # (…, S, 2)
+        xy = pos[..., None, :2] + world_off  # (…, S, 2)
+        top, span = 100.0, 200.0
+        origins = jnp.concatenate(
+            [xy, jnp.full(xy.shape[:-1] + (1,), top, q.dtype)], axis=-1
+        )
+        targets = origins.at[..., 2].add(-span)
+        eye = jnp.eye(3, dtype=q.dtype)
+        x_t = Transform(pos=jnp.zeros(3, q.dtype), rot=eye)
+        frac, _ = ray_mesh(origins, targets, self.terrain, x_t)
+        height = top - frac * span  # terrain z (misses -> huge negative)
+        rel = height - pos[..., None, 2]
+        return jnp.clip(rel, -10.0, 10.0)
 
     # -- env API -----------------------------------------------------------
     def _joint_q_offset(self):

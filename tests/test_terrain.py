@@ -93,3 +93,52 @@ def test_trained_policy_walks_on_mesh_terrain(tmp_path):
     # commit-time actual: x = 1.79 m in 1.5 s (flat-ground gait ~1.6 m/s)
     assert q[0] > 1.0, f"gait too slow on terrain: x={q[0]:.3f} m in 1.5 s"
     assert 0.3 < q[2] < 0.6, f"bad height on terrain: z={q[2]:.3f}"
+
+
+def test_height_scan_observations(tmp_path):
+    # exteroception: vertical rays sample the terrain under egocentric
+    # scan points and join the observation, relative to base height
+    from tds_tpu.envs.laikago import LaikagoEnv
+
+    def h(x, y):
+        return 0.05 * math.sin(2.0 * x) + 0.02 * y
+
+    path = write_heightfield(
+        str(tmp_path / "scan_terrain.obj"), 25, 25, (-2.0, 2.0), (-2.0, 2.0), h
+    )
+    terrain = Mesh(file_name=path, max_contacts=3)
+    scan = [(0.0, 0.0), (0.3, 0.0), (0.0, 0.2), (-0.3, -0.2)]
+    env = LaikagoEnv(dtype=jnp.float32, terrain=terrain, height_scan=scan)
+    plain = LaikagoEnv(dtype=jnp.float32, terrain=terrain)
+    assert env.observation_dim == plain.observation_dim + len(scan)
+
+    q, qd = env.initial_state(jax.random.PRNGKey(0))
+    obs = env.observation(q, qd)
+    assert obs.shape == (env.observation_dim,)
+    heights = np.asarray(obs[-len(scan):])
+    base = np.asarray(q[0:3])
+    # piecewise-linear mesh interpolates the smooth h(x,y): loose tol for
+    # the 0.167-m grid, tight where scan points coincide with h's scale
+    for (ox, oy), got in zip(scan, heights):
+        expected = h(base[0] + ox, base[1] + oy) - base[2]
+        assert abs(got - expected) < 5e-3, (ox, oy, got, expected)
+
+    # yaw rotation: after a 90deg yaw, the (0.3, 0) scan point samples
+    # the terrain at +y instead of +x
+    q_yaw = q.at[5].set(np.pi / 2)
+    obs_yaw = env.observation(q_yaw, qd)
+    h_yaw = np.asarray(obs_yaw[-len(scan):])
+    expected_front = h(base[0], base[1] + 0.3) - base[2]
+    assert abs(h_yaw[1] - expected_front) < 5e-3
+
+    # the scan jits and vmaps
+    f = jax.jit(jax.vmap(env.observation))
+    qs = jnp.tile(q[None], (3, 1))
+    qds = jnp.tile(qd[None], (3, 1))
+    out = f(qs, qds)
+    assert out.shape == (3, env.observation_dim)
+    np.testing.assert_allclose(np.asarray(out[0]), np.asarray(obs), atol=1e-5)
+
+    # height_scan without terrain is an error
+    with pytest.raises(ValueError):
+        LaikagoEnv(dtype=jnp.float32, height_scan=scan)
