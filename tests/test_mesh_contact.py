@@ -464,3 +464,36 @@ def test_mesh_cube_settles_with_spring_solver(cube_mesh):
     assert np.all(np.isfinite(qf))
     assert abs(qf[6] - 0.5) < 0.01
     assert np.max(np.abs(np.asarray(qds[1]))) < 1e-6
+
+
+def test_closest_point_on_triangle_property(cube_mesh):
+    # property test: for 500 random triangle/point pairs the branchless
+    # region selection returns the true minimum (never beaten by a dense
+    # 200x200 barycentric sampling of the triangle)
+    from tds_tpu.collision.narrowphase import _closest_point_on_triangles
+
+    rng = np.random.default_rng(0)
+    n = 500
+    a = rng.normal(size=(n, 3))
+    b = rng.normal(size=(n, 3))
+    c = rng.normal(size=(n, 3))
+    p = rng.normal(size=(n, 3)) * 2.0
+    cp = np.asarray(
+        _closest_point_on_triangles(
+            jnp.asarray(p), jnp.asarray(a), jnp.asarray(b), jnp.asarray(c)
+        )
+    )
+    d_fast = np.linalg.norm(p - cp, axis=-1)
+    m = 200
+    u = np.linspace(0, 1, m)
+    uu, vv = np.meshgrid(u, u)
+    keep = (uu + vv) <= 1.0
+    uu, vv = uu[keep], vv[keep]
+    for i in range(n):
+        pts = (
+            a[i]
+            + uu[:, None] * (b[i] - a[i])
+            + vv[:, None] * (c[i] - a[i])
+        )
+        d_bf = np.min(np.linalg.norm(pts - p[i], axis=-1))
+        assert d_fast[i] <= d_bf + 1e-9, (i, d_fast[i], d_bf)
