@@ -65,3 +65,43 @@ def test_dryrun_multichip():
     from __graft_entry__ import dryrun_multichip
 
     dryrun_multichip(len(jax.devices()))
+
+
+def test_sharded_terrain_env_matches_replicated(mesh, tmp_path):
+    """The mesh-terrain step (trace-time triangle constants, top_k,
+    take_along_axis gathers) shards over the batch axis under GSPMD and
+    matches the unsharded result bitwise-close."""
+    import math
+
+    from tds_tpu.envs.laikago import LaikagoEnv
+    from tds_tpu.model.geometry import Mesh
+    from tds_tpu.utils.terrain import write_heightfield
+
+    path = write_heightfield(
+        str(tmp_path / "shard_terrain.obj"), 9, 5, (-1, 3), (-1, 1),
+        lambda x, y: 0.02 * math.sin(2 * x) * math.cos(y),
+    )
+    env = LaikagoEnv(
+        dtype=jnp.float32, terrain=Mesh(file_name=path, max_contacts=3),
+        height_scan=[(0.0, 0.0), (0.2, 0.0)],
+    )
+    q0, qd0 = env.initial_state(jax.random.PRNGKey(0))
+    n = 8 * 2
+    qs = jnp.tile(q0[None], (n, 1))
+    qds = jnp.tile(qd0[None], (n, 1))
+    acts = jnp.zeros((n, env.action_dim), jnp.float32)
+
+    @jax.jit
+    def step(qs, qds, acts):
+        q2, qd2 = jax.vmap(env.sim_step)(qs, qds, acts)
+        obs = jax.vmap(env.observation)(q2, qd2)
+        return q2, qd2, obs
+
+    eq, eqd, eobs = step(qs, qds, acts)
+    sq, sqd, sobs = step(
+        shard_batch(qs, mesh), shard_batch(qds, mesh), shard_batch(acts, mesh)
+    )
+    np.testing.assert_allclose(np.asarray(sq), np.asarray(eq), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(sqd), np.asarray(eqd), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(sobs), np.asarray(eobs), atol=1e-5)
+    assert len(sq.sharding.device_set) == len(jax.devices())
