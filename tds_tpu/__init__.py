@@ -34,6 +34,7 @@ from tds_tpu.model.geometry import (
     Capsule,
     Cylinder,
     GeomAttachment,
+    Heightfield,
     Mesh,
     Plane,
     Sphere,

@@ -17,7 +17,7 @@ import jax.numpy as jnp
 
 from tds_tpu.algebra.transform import Transform
 from tds_tpu.algebra import smallmat as sm
-from tds_tpu.model.geometry import Box, Capsule, Mesh, Plane, Sphere
+from tds_tpu.model.geometry import Box, Capsule, Heightfield, Mesh, Plane, Sphere
 
 
 class Contact(NamedTuple):
@@ -329,6 +329,144 @@ def sphere_mesh(sa: Sphere, xa: Transform, mb: Mesh, xb: Transform) -> Contact:
     )
 
 
+def _heightfield_cell_triangles(hf: Heightfield, i, j, dtype):
+    """Local-frame vertices of cell (i, j)'s two triangles, matching
+    utils.terrain.heightfield_obj's (a,b,d)/(a,d,c) triangulation.
+    ``i``/``j`` are (…,)-shaped clipped cell indices."""
+    x0, x1 = hf.x_range
+    y0, y1 = hf.y_range
+    dx = (x1 - x0) / (hf.nx - 1)
+    dy = (y1 - y0) / (hf.ny - 1)
+    h = jnp.asarray(hf.heights, dtype)
+    xi = (x0 + i * dx).astype(dtype)
+    yj = (y0 + j * dy).astype(dtype)
+
+    def corner(di, dj):
+        idx = (j + dj) * hf.nx + (i + di)
+        z = jnp.take(h, idx)
+        return jnp.stack([xi + di * dx, yj + dj * dy, z], axis=-1)
+
+    pa = corner(0, 0)
+    pb = corner(1, 0)
+    pc = corner(0, 1)
+    pd = corner(1, 1)
+    # triangles (a, b, d) and (a, d, c)
+    t_a = jnp.stack([pa, pa], axis=-2)
+    t_b = jnp.stack([pb, pd], axis=-2)
+    t_c = jnp.stack([pd, pc], axis=-2)
+    return t_a, t_b, t_c
+
+
+def heightfield_height(hf: Heightfield, x, y):
+    """Exact height of the TRIANGULATED surface at local (x, y) — the same
+    surface the contact sees (piecewise planar, not bilinear)."""
+    x0, x1 = hf.x_range
+    y0, y1 = hf.y_range
+    dx = (x1 - x0) / (hf.nx - 1)
+    dy = (y1 - y0) / (hf.ny - 1)
+    fx = (x - x0) / dx
+    fy = (y - y0) / dy
+    i = jnp.clip(jnp.floor(fx).astype(jnp.int32), 0, hf.nx - 2)
+    j = jnp.clip(jnp.floor(fy).astype(jnp.int32), 0, hf.ny - 2)
+    u = fx - i
+    v = fy - j
+    h = jnp.asarray(hf.heights, jnp.result_type(x))
+
+    def z(di, dj):
+        return jnp.take(h, (j + dj) * hf.nx + (i + di))
+
+    h00, h10, h01, h11 = z(0, 0), z(1, 0), z(0, 1), z(1, 1)
+    lower = h00 + u * (h10 - h00) + v * (h11 - h10)  # triangle (a, b, d)
+    upper = h00 + u * (h11 - h01) + v * (h01 - h00)  # triangle (a, d, c)
+    return jnp.where(v <= u, lower, upper)
+
+
+def sphere_heightfield(
+    sa: Sphere, xa: Transform, hf: Heightfield, xb: Transform
+) -> Contact:
+    """Sphere vs heightfield: exact closest point over the 3x3 cell
+    neighborhood of the center's cell (18 triangles) — O(1) regardless of
+    grid size, identical to sphere_mesh on the equivalent triangulated
+    mesh whenever the closest feature lies within one cell of the center
+    (i.e. sphere radius < cell size, the terrain-walking regime)."""
+    from tds_tpu.algebra.spatial import safe_norm
+
+    k = int(hf.max_contacts)
+    local = xb.apply_inverse_point(xa.pos)  # (…, 3)
+    x0, x1 = hf.x_range
+    y0, y1 = hf.y_range
+    dx = (x1 - x0) / (hf.nx - 1)
+    dy = (y1 - y0) / (hf.ny - 1)
+    i0 = jnp.clip(
+        jnp.floor((local[..., 0] - x0) / dx).astype(jnp.int32), 0, hf.nx - 2
+    )
+    j0 = jnp.clip(
+        jnp.floor((local[..., 1] - y0) / dy).astype(jnp.int32), 0, hf.ny - 2
+    )
+    tas, tbs, tcs, valids = [], [], [], []
+    for di in (-1, 0, 1):
+        for dj in (-1, 0, 1):
+            ri = i0 + di
+            rj = j0 + dj
+            # clipped out-of-range neighbors would DUPLICATE a border
+            # cell's triangles and corrupt the top-k multiset vs the mesh
+            # oracle; mask them out instead
+            valid = (
+                (ri >= 0) & (ri <= hf.nx - 2) & (rj >= 0) & (rj <= hf.ny - 2)
+            )
+            ci = jnp.clip(ri, 0, hf.nx - 2)
+            cj = jnp.clip(rj, 0, hf.ny - 2)
+            ta, tb, tc = _heightfield_cell_triangles(
+                hf, ci, cj, local.dtype
+            )
+            tas.append(ta)
+            tbs.append(tb)
+            tcs.append(tc)
+            valids.append(jnp.stack([valid, valid], axis=-1))
+    ta = jnp.concatenate(tas, axis=-2)  # (…, 18, 3)
+    tb = jnp.concatenate(tbs, axis=-2)
+    tc = jnp.concatenate(tcs, axis=-2)
+    valid = jnp.concatenate(valids, axis=-1)  # (…, 18)
+    center = local[..., None, :]
+    closest = _closest_point_on_triangles(center, ta, tb, tc)
+    diff = center - closest
+    length = safe_norm(diff, axis=-1)
+    length = jnp.where(valid, length, 1e30)
+    neg_d, idx = jax.lax.top_k(-(length - sa.radius), k)
+    distance = -neg_d
+    p_sel = jnp.take_along_axis(closest, idx[..., None], axis=-2)
+    d_sel = jnp.take_along_axis(diff, idx[..., None], axis=-2)
+    l_sel = jnp.maximum(jnp.take_along_axis(length, idx, axis=-1), 1e-12)
+    n_local = d_sel / l_sel[..., None]
+    point_b = xb.apply_point(p_sel)
+    normal = sm.mv(xb.rot[..., None, :, :], n_local)
+    point_a = xa.pos[..., None, :] - sa.radius * normal
+    return Contact(
+        normal_on_b=normal,
+        point_a=point_a,
+        point_b=point_b,
+        distance=distance,
+    )
+
+
+def capsule_heightfield(
+    ca: Capsule, xa: Transform, hf: Heightfield, xb: Transform
+) -> Contact:
+    """Endpoint sphere probes, as capsule_mesh."""
+    half = 0.5 * ca.length
+    sphere = Sphere(ca.radius)
+    pts = []
+    for sz in (half, -half):
+        local = jnp.asarray([0.0, 0.0, sz], dtype=xa.pos.dtype)
+        center = xa.apply_point(local)
+        pts.append(
+            sphere_heightfield(
+                sphere, Transform(pos=center, rot=xa.rot), hf, xb
+            )
+        )
+    return Contact.concatenate(pts)
+
+
 def capsule_mesh(ca: Capsule, xa: Transform, mb: Mesh, xb: Transform) -> Contact:
     """Two sphere probes at the capsule axis endpoints vs the mesh — the
     reference's own plane-capsule discipline (contact_point.hpp:128-161)
@@ -464,6 +602,8 @@ _PAIR_TABLE = {
     (Capsule, Mesh): (capsule_mesh, False),
     (Box, Mesh): (box_mesh, False),
     (Mesh, Mesh): (mesh_mesh, False),
+    (Sphere, Heightfield): (sphere_heightfield, False),
+    (Capsule, Heightfield): (capsule_heightfield, False),
     # reversed pairs
     (Sphere, Plane): (plane_sphere, True),
     (Capsule, Plane): (plane_capsule, True),
@@ -474,6 +614,8 @@ _PAIR_TABLE = {
     (Mesh, Sphere): (sphere_mesh, True),
     (Mesh, Capsule): (capsule_mesh, True),
     (Mesh, Box): (box_mesh, True),
+    (Heightfield, Sphere): (sphere_heightfield, True),
+    (Heightfield, Capsule): (capsule_heightfield, True),
 }
 
 
@@ -481,7 +623,7 @@ def supported(shape_a, shape_b) -> bool:
     # meshes collide only when opted in (max_contacts > 0); the default 0
     # preserves reference parity (visual-only meshes) for existing models
     for s in (shape_a, shape_b):
-        if isinstance(s, Mesh) and s.max_contacts <= 0:
+        if isinstance(s, (Mesh, Heightfield)) and s.max_contacts <= 0:
             return False
     return (type(shape_a), type(shape_b)) in _PAIR_TABLE
 

@@ -148,6 +148,16 @@ class LocomotionEnv(Env):
             [c * ox - s * oy, s * ox + c * oy], axis=-1
         )  # (…, S, 2)
         xy = pos[..., None, :2] + world_off  # (…, S, 2)
+        from tds_tpu.model.geometry import Heightfield
+
+        if isinstance(self.terrain, Heightfield):
+            # O(1) exact query of the same triangulated surface
+            from tds_tpu.collision.narrowphase import heightfield_height
+
+            height = heightfield_height(
+                self.terrain, xy[..., 0], xy[..., 1]
+            )
+            return jnp.clip(height - pos[..., None, 2], -10.0, 10.0)
         top, span = 100.0, 200.0
         origins = jnp.concatenate(
             [xy, jnp.full(xy.shape[:-1] + (1,), top, q.dtype)], axis=-1

@@ -125,6 +125,39 @@ class Mesh:
 
 
 @dataclasses.dataclass(frozen=True)
+class Heightfield:
+    """Axis-aligned triangulated height grid (beyond reference: TDS has no
+    terrain shape at all).
+
+    Semantically identical to the Mesh produced by
+    ``utils.terrain.heightfield_obj`` on the same grid — each cell is the
+    same two triangles — but narrowphase cost is O(1) per query (a 3x3
+    cell neighborhood lookup) instead of O(T) over every triangle, so
+    large terrains stay cheap. ``heights`` is row-major in x with
+    ``len == nx * ny``; exact for sphere contacts whose closest feature
+    lies within one cell of the center's cell (radius < cell size)."""
+
+    nx: int
+    ny: int
+    x_range: Tuple[float, float]
+    y_range: Tuple[float, float]
+    heights: Tuple[float, ...]
+    max_contacts: int = 1
+
+    def __post_init__(self):
+        if self.nx < 2 or self.ny < 2:
+            raise ValueError("need at least a 2x2 vertex grid")
+        if len(self.heights) != self.nx * self.ny:
+            raise ValueError(
+                f"heights has {len(self.heights)} entries, "
+                f"expected nx*ny = {self.nx * self.ny}"
+            )
+
+    def local_inertia(self, mass: float):
+        return (0.0, 0.0, 0.0)  # terrain is static
+
+
+@dataclasses.dataclass(frozen=True)
 class GeomAttachment:
     """A collision shape attached to a link (or the base, link_index=-1)."""
 

@@ -48,3 +48,29 @@ def write_heightfield(path: str, *args, **kwargs) -> str:
     with open(path, "w") as f:
         f.write(heightfield_obj(*args, **kwargs))
     return path
+
+
+def make_heightfield(
+    nx: int,
+    ny: int,
+    x_range: Tuple[float, float],
+    y_range: Tuple[float, float],
+    height_fn: Callable[[float, float], float],
+    max_contacts: int = 1,
+):
+    """The analytic ``Heightfield`` shape over the SAME grid/triangulation
+    as ``heightfield_obj`` — identical contact surface, O(1) queries."""
+    from tds_tpu.model.geometry import Heightfield
+
+    x0, x1 = x_range
+    y0, y1 = y_range
+    heights = tuple(
+        float(height_fn(x0 + (x1 - x0) * i / (nx - 1),
+                        y0 + (y1 - y0) * j / (ny - 1)))
+        for j in range(ny)
+        for i in range(nx)
+    )
+    return Heightfield(
+        nx=nx, ny=ny, x_range=tuple(x_range), y_range=tuple(y_range),
+        heights=heights, max_contacts=max_contacts,
+    )
