@@ -23,6 +23,37 @@ class Cfg:
     checkpoint: str = "./logs/laikago_ars/policy.pkl"
     resume: str = ""  # checkpoint to warm-start params/obs_stat from
     seed: int = 0  # ARS exploration + init seed (multi-seed studies)
+    # beyond reference: train ON terrain. bump>0 swaps the ground plane for
+    # an analytic sinusoidal Heightfield of that amplitude (meters); scan>0
+    # adds that many egocentric height-scan points to the observation
+    # (a forward-looking 3xN/3 grid; see make_terrain_env below).
+    terrain_bump: float = 0.0
+    terrain_scan: int = 0
+
+
+# 9-point forward-looking grid in the body frame: 3 rows ahead of the base
+# x in {0.15, 0.35, 0.55} m, 3 lateral offsets y in {-0.15, 0, 0.15} m —
+# covers the next two footstep locations at laikago's ~1.6 m/s gait.
+SCAN_GRID = tuple(
+    (x, y) for x in (0.15, 0.35, 0.55) for y in (-0.15, 0.0, 0.15)
+)
+
+
+def make_terrain_env(bump: float, scan_points: int, dtype):
+    """Laikago on an analytic sinusoidal Heightfield (O(1) contact queries,
+    same triangulated surface as utils.terrain.heightfield_obj)."""
+    import math
+
+    from tds_tpu.envs.laikago import LaikagoEnv
+    from tds_tpu.utils.terrain import make_heightfield
+
+    terrain = make_heightfield(
+        13, 7, (-1.0, 5.0), (-1.5, 1.5),
+        lambda x, y: bump * math.sin(math.pi * x) * math.cos(math.pi * y),
+        max_contacts=3,
+    )
+    scan = SCAN_GRID[:scan_points] if scan_points else None
+    return LaikagoEnv(dtype=dtype, terrain=terrain, height_scan=scan)
 
 
 def main():
@@ -37,7 +68,14 @@ def main():
     cfg = exp.parse_args()
     exp.start()
 
-    env = LaikagoEnv(dtype=jnp.float32)
+    if cfg.terrain_bump > 0.0:
+        env = make_terrain_env(cfg.terrain_bump, cfg.terrain_scan, jnp.float32)
+        print(
+            f"terrain mode: +-{cfg.terrain_bump * 100:.0f} cm heightfield, "
+            f"{cfg.terrain_scan} height-scan observations"
+        )
+    else:
+        env = LaikagoEnv(dtype=jnp.float32)
     policy = linear_policy(env.observation_dim, env.action_dim)
     ars_cfg = ARSConfig(
         num_directions=cfg.num_directions,

@@ -142,3 +142,34 @@ def test_height_scan_observations(tmp_path):
     # height_scan without terrain is an error
     with pytest.raises(ValueError):
         LaikagoEnv(dtype=jnp.float32, height_scan=scan)
+
+
+def test_ars_train_step_on_terrain():
+    """The full ARS training iteration (rollouts -> g_hat update) compiles
+    and runs through Heightfield terrain contact WITH height-scan
+    observations — the terrain-training entry point of
+    examples/laikago_ars_train.py (--terrain_bump/--terrain_scan)."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from examples.laikago_ars_train import make_terrain_env
+    from tds_tpu.learn.ars import ARSConfig, init_ars, make_train_step
+    from tds_tpu.learn.nn import linear_policy
+
+    env = make_terrain_env(bump=0.02, scan_points=9, dtype=jnp.float32)
+    plain = make_terrain_env(bump=0.02, scan_points=0, dtype=jnp.float32)
+    assert env.observation_dim == plain.observation_dim + 9
+    policy = linear_policy(env.observation_dim, env.action_dim)
+    cfg = ARSConfig(num_directions=2, rollout_length=8, eval_interval=100)
+    state = init_ars(env, policy, jax.random.PRNGKey(0))
+    step_fn = make_train_step(env, policy, cfg)
+
+    state2, metrics = step_fn(state)
+    assert int(state2.total_timesteps) > 0
+    assert np.isfinite(float(metrics["reward_pos_mean"]))
+    # the update touched the params (terrain rewards are nonzero)
+    assert np.isfinite(np.asarray(state2.params)).all()
+    # obs filter saw the scan dims: its mean over the scan slice is the
+    # (negative) base height above terrain, far from the init zeros
+    scan_mean = np.asarray(state2.obs_stat.mean[-9:])
+    assert np.all(np.abs(scan_mean) > 0.05), scan_mean
