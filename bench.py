@@ -24,7 +24,46 @@ jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
+def _probe_backend(timeout_s: float = 120.0) -> None:
+    """Fail fast if the TPU tunnel relay is dead.
+
+    The axon plugin's backend init HANGS indefinitely (not errors) when the
+    harness-owned port relay (/root/.tpu_init.py) has died — observed
+    2026-08-17, PROGRESS.md. Probe jax.devices() in a subprocess with a
+    timeout so the driver gets a diagnosable nonzero exit instead of a hung
+    round-end bench. The probe releases the tunnel before we init our own
+    backend (single-client tunnel)."""
+    import subprocess
+
+    if os.environ.get("TDS_BENCH_SKIP_PROBE"):
+        return
+    probe = subprocess.Popen(
+        [sys.executable, "-c", "import jax; print(jax.devices()[0].platform)"],
+        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
+    )
+    try:
+        out, _ = probe.communicate(timeout=timeout_s)
+    except subprocess.TimeoutExpired:
+        probe.kill()
+        probe.wait()
+        print(
+            json.dumps(
+                {
+                    "metric": "laikago_env_steps_per_s",
+                    "error": (
+                        f"backend init hung >{timeout_s:.0f}s — TPU tunnel "
+                        "relay down (harness-owned /root/.tpu_init.py; see "
+                        "PROGRESS.md 'Tunnel incident')"
+                    ),
+                }
+            )
+        )
+        sys.exit(2)
+    print(f"# backend probe: {out.strip()}", file=sys.stderr)
+
+
 def main():
+    _probe_backend()
     # batch swept in round 3 (PROGRESS.md): 4096 -> 4.97M steps/s, 8192 ->
     # 5.59M, 16384 -> 6.02M, 20480 -> 6.01M, 32768 -> 5.09M. 16384 sits on
     # the plateau; beyond it HBM traffic (not parallelism) is the wall.
