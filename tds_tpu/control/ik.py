@@ -82,12 +82,14 @@ def inverse_kinematics(
             n = jac.shape[-1]
             a = jt @ jac + (lambda_**2) * jnp.eye(n, dtype=dtype)
             rhs = jt @ e[..., None]
-            if q_reference is not None and q_reference_weight > 0:
-                rhs = rhs + q_reference_weight * (
-                    jnp.asarray(q_reference, dtype) - q
-                )[..., None]
             dq = jnp.linalg.solve(a, rhs)[..., 0]
         q = q + dq
+        # reference-pose attraction: a post-step blend toward q_reference,
+        # matching tiny_inverse_kinematics.h:235 (qi += w*(q_ref - qi) each
+        # iteration, every method) — NOT a Tikhonov term in the normal
+        # equations, which would need a matching w*I in `a` to be stable.
+        if q_reference is not None and q_reference_weight > 0:
+            q = q + q_reference_weight * (jnp.asarray(q_reference, dtype) - q)
         return (q, jnp.linalg.norm(e, axis=-1)), None
 
     (q, res), _ = jax.lax.scan(
