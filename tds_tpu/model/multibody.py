@@ -198,7 +198,12 @@ class MultiBodyBuilder:
         self.base_inertia = ((0.0,) * 3,) * 3
         self.base_pos = (0.0, 0.0, 0.0)
         self.base_rot = ((1.0, 0, 0), (0, 1.0, 0), (0, 0, 1.0))
-        self.joint_damping = 0.0
+        # spherical-joint velocity decay FACTOR per integrator.hpp:107-118,
+        # applied as pow(joint_damping, 1000*dt) each step. Reference default
+        # 0.995 (multi_body.hpp:51); 1.0 disables damping. NOTE: 0.0 means
+        # TOTAL decay — pow(0, x) = 0 freezes every spherical joint, the
+        # round-3 bug this default (formerly 0.0) silently caused.
+        self.joint_damping = 0.995
 
     def set_base_inertia(self, mass, com, inertia_about_com):
         """Set base inertial params (com given as center of mass)."""
