@@ -1,8 +1,11 @@
 #!/usr/bin/env python
-"""ARS training on the laikago locomotion env (ars_train_policy analog).
+"""ARS training on the locomotion envs (ars_train_policy analog).
 
 Run (TPU): PYTHONPATH=.:/root/.axon_site python examples/laikago_ars_train.py \
     --num_directions 64 --rollout_length 400 --iterations 50
+
+Any locomotion env trains through the same entry:
+    ... laikago_ars_train.py --env humanoid --rollout_length 1000
 """
 
 import dataclasses
@@ -13,6 +16,7 @@ import jax.numpy as jnp
 
 @dataclasses.dataclass
 class Cfg:
+    env: str = "laikago"  # laikago | humanoid | ant | hopper | halfcheetah
     num_directions: int = 64
     rollout_length: int = 400
     delta_std: float = 0.03
@@ -56,8 +60,25 @@ def make_terrain_env(bump: float, scan_points: int, dtype):
     return LaikagoEnv(dtype=dtype, terrain=terrain, height_scan=scan)
 
 
-def main():
+def make_env(name: str, dtype):
+    from tds_tpu.envs.ant import AntEnv
+    from tds_tpu.envs.hopper import HalfCheetahEnv, HopperEnv
+    from tds_tpu.envs.humanoid import HumanoidEnv
     from tds_tpu.envs.laikago import LaikagoEnv
+
+    envs = {
+        "laikago": LaikagoEnv,
+        "humanoid": HumanoidEnv,
+        "ant": AntEnv,
+        "hopper": HopperEnv,
+        "halfcheetah": HalfCheetahEnv,
+    }
+    if name not in envs:
+        raise SystemExit(f"--env must be one of {sorted(envs)}, got {name!r}")
+    return envs[name](dtype=dtype)
+
+
+def main():
     from tds_tpu.learn.ars import ARSConfig, init_ars, make_eval, make_train_step
     from tds_tpu.learn.nn import linear_policy
     from tds_tpu.parallel.mesh import make_mesh
@@ -66,16 +87,22 @@ def main():
 
     exp = Experiment("laikago_ars", Cfg())
     cfg = exp.parse_args()
+    if cfg.env != "laikago":
+        exp.name = f"{cfg.env}_ars"
+        if cfg.checkpoint == Cfg.checkpoint:
+            cfg.checkpoint = f"./logs/{cfg.env}_ars/policy.pkl"
     exp.start()
 
     if cfg.terrain_bump > 0.0:
+        if cfg.env != "laikago":
+            raise SystemExit("--terrain_bump is laikago-only for now")
         env = make_terrain_env(cfg.terrain_bump, cfg.terrain_scan, jnp.float32)
         print(
             f"terrain mode: +-{cfg.terrain_bump * 100:.0f} cm heightfield, "
             f"{cfg.terrain_scan} height-scan observations"
         )
     else:
-        env = LaikagoEnv(dtype=jnp.float32)
+        env = make_env(cfg.env, jnp.float32)
     policy = linear_policy(env.observation_dim, env.action_dim)
     ars_cfg = ARSConfig(
         num_directions=cfg.num_directions,

@@ -102,7 +102,7 @@ def make_rollout(world, arm, box, q_ik0, q_ik1, steps=1000, stroke_steps=700,
             tau = pd_tau(arm, qs[1], qds[1], q_target, kp=200.0, kd=10.0,
                          max_force=87.0)
             taus = (jnp.zeros(0, q_ik0.dtype), tau,
-                    jnp.zeros(box.dof_qd, q_ik0.dtype))
+                    jnp.zeros(box.dof_actuated, q_ik0.dtype))
             qs, qds = world_step(world, qs, qds, taus, gravity, dt)
             return (qs, qds), (qs[2][..., 4], qs[2][..., 6])
 

@@ -119,24 +119,33 @@ class Transform(NamedTuple):
         )
 
     # ---- 6x3 motion-subspace matrices --------------------------------------
+    def _per_column(self):
+        """Self with an inserted singleton axis so the (…, 3, 6)
+        columns-as-rows layout of the matrix helpers broadcasts against a
+        BATCHED transform: without it the column axis collides with the
+        transform's batch axis (crashed batched spherical CRBA/jacobian)."""
+        return Transform(
+            pos=self.pos[..., None, :], rot=self.rot[..., None, :, :]
+        )
+
     def motion_matrix_to_child(self, s):
         """Columnwise motion_to_child for (..., 6, 3) matrices
         (reference transform.hpp:314-331)."""
         st = jnp.swapaxes(s, -1, -2)  # (..., 3, 6) columns as rows
-        out = self.motion_to_child(st)
+        out = self._per_column().motion_to_child(st)
         return jnp.swapaxes(out, -1, -2)
 
     def motion_matrix_to_parent(self, s):
         """Columnwise motion_to_parent (reference transform.hpp:365-380)."""
         st = jnp.swapaxes(s, -1, -2)
-        out = self.motion_to_parent(st)
+        out = self._per_column().motion_to_parent(st)
         return jnp.swapaxes(out, -1, -2)
 
     def force_matrix_to_parent(self, s):
         """Columnwise force_to_parent for (..., 6, 3) force matrices
         (reference transform.hpp:291-308)."""
         st = jnp.swapaxes(s, -1, -2)
-        out = self.force_to_parent(st)
+        out = self._per_column().force_to_parent(st)
         return jnp.swapaxes(out, -1, -2)
 
     # ---- 6x6 matrices ------------------------------------------------------

@@ -129,6 +129,8 @@ def resolve_collision_spring(
     params: SpringContactParams = SpringContactParams(),
     kin_a=None,
     kin_b=None,
+    factor_a=None,
+    factor_b=None,
 ):
     """Returns (qd_a', qd_b', forces) with contact forces integrated into
     the generalized velocities over dt."""
@@ -175,14 +177,24 @@ def resolve_collision_spring(
         if n_b:
             gen_force_b = gen_force_b - jnp.einsum("...ij,...i->...j", jb, force)
 
+    # M^-1 f: reuse the step's AbaFactor (O(n) Featherstone propagation,
+    # shared with the MLCP branch) when available; dense CRBA + Cholesky
+    # otherwise
     from tds_tpu.algebra.linalg import solve_pd
+    from tds_tpu.dynamics.forward_dynamics import minv_mul
 
     if n_a:
-        qd_a = qd_a + dt * solve_pd(
-            mass_matrix_from_kin(model_a, kin_a, q_a), gen_force_a
-        )
+        if factor_a is not None:
+            qd_a = qd_a + dt * minv_mul(model_a, kin_a, factor_a, gen_force_a)
+        else:
+            qd_a = qd_a + dt * solve_pd(
+                mass_matrix_from_kin(model_a, kin_a, q_a), gen_force_a
+            )
     if n_b:
-        qd_b = qd_b + dt * solve_pd(
-            mass_matrix_from_kin(model_b, kin_b, q_b), gen_force_b
-        )
+        if factor_b is not None:
+            qd_b = qd_b + dt * minv_mul(model_b, kin_b, factor_b, gen_force_b)
+        else:
+            qd_b = qd_b + dt * solve_pd(
+                mass_matrix_from_kin(model_b, kin_b, q_b), gen_force_b
+            )
     return qd_a, qd_b, jnp.stack(forces, axis=-2)

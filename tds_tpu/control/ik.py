@@ -92,8 +92,11 @@ def inverse_kinematics(
             q = q + q_reference_weight * (jnp.asarray(q_reference, dtype) - q)
         return (q, jnp.linalg.norm(e, axis=-1)), None
 
+    # carry residual must match the body's batch-shaped norm or batched q0
+    # fails at trace time
+    res0 = jnp.full(q0.shape[:-1], jnp.inf, dtype)
     (q, res), _ = jax.lax.scan(
-        body, (q0, jnp.asarray(jnp.inf, dtype)), None, length=max_iterations
+        body, (q0, res0), None, length=max_iterations
     )
     e_final, _ = residual_and_jac(q)
     res = jnp.linalg.norm(e_final, axis=-1)

@@ -36,7 +36,7 @@ from tds_tpu.control.mpc.swing_leg import (
     swing_foot_positions,
     swing_leg_update,
 )
-from tds_tpu.dynamics.jacobian import point_jacobian
+from tds_tpu.dynamics.jacobian import point_jacobian_kin
 from tds_tpu.dynamics.kinematics import forward_kinematics_q
 from tds_tpu.model.multibody import MultiBodyModel
 
@@ -155,11 +155,16 @@ class LocomotionMpcController:
         from tds_tpu.algebra.linalg import inv3
 
         def body(q, _):
-            _, lxw, _ = forward_kinematics_q(self.model, q)
+            base_x, lxw, lxb = forward_kinematics_q(self.model, q)
             for leg, toe in enumerate(self.toe_links):
                 foot = lxw[toe].pos
                 e = targets_world[..., leg, :] - foot
-                jac_full = point_jacobian(self.model, q, toe, foot)
+                # reuse this iteration's FK pass; point_jacobian(model, q,
+                # ...) would rerun a whole-robot FK per leg (4x redundant)
+                jac_full = point_jacobian_kin(
+                    self.model, base_x, lxw, lxb, toe, foot,
+                    batch=q.shape[:-1], dtype=dtype,
+                )
                 jac = jnp.stack(
                     [jac_full[..., :, j] for j in self.leg_qd[leg]], axis=-1
                 )  # (…, 3, 3)

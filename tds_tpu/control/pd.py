@@ -61,7 +61,15 @@ def pd_tau(
             )
             force = jnp.clip(kp * err - kd * qd_actual, -max_force, max_force)
             tau = set_slice(tau, t_off, force)
-            pose_index += 4
+            # COMPACT pose-vector convention: spherical joints consume NO
+            # q_targets slots (their target is always identity). This
+            # diverges from the reference's pose_index += 4
+            # (locomotion_contact_simulation.h:220), whose 4 slots are dead
+            # weight kept for a commented-out desired-orientation branch;
+            # the envs here size initial_poses/actions over 1-DoF joints
+            # only, and advancing by 4 misaligned every target after a
+            # spherical joint (JAX clamps the out-of-bounds gather, so all
+            # later joints silently tracked the LAST target).
         else:
             qo = model.q_offsets[i]
             target = q_targets[..., pose_index]

@@ -156,9 +156,15 @@ def forward_dynamics(
         raise ValueError(f"q has {q.shape[-1]} coords, model needs {model.dof_q}")
     if qd.shape[-1] != model.dof_qd:
         raise ValueError(f"qd has {qd.shape[-1]} coords, model needs {model.dof_qd}")
-    if tau is not None and tau.shape[-1] not in (model.dof_actuated, model.dof_qd):
+    if tau is not None and tau.shape[-1] != model.dof_actuated:
+        # tau is ACTUATED-layout only (reference multi_body.hpp:560-573).
+        # A dof_qd-length vector on a floating base used to pass validation
+        # but tau_for_link read it shifted by the 6 base slots — silently
+        # wrong torques. Base wrenches go through base_applied_force/f_ext.
         raise ValueError(
-            f"tau has {tau.shape[-1]} entries, model has {model.dof_actuated} actuated DoF"
+            f"tau has {tau.shape[-1]} entries, model has {model.dof_actuated}"
+            " actuated DoF (base wrench belongs in base_applied_force, not"
+            " tau)"
         )
     kin = fk_links(model, q, qd, f_ext=f_ext, base_applied_force=base_applied_force)
     return forward_dynamics_from_kin(model, kin, q, qd, tau, gravity)

@@ -124,9 +124,17 @@ def mass_matrix_from_kin(model: MultiBodyModel, kin, q):
         set_block(0, 0, base_ic.matrix(), 6, 6)
 
     zero = jnp.zeros(batch, dtype=dtype)
+    # entries mix batched values with unbatched trace-time constants (leaf
+    # composite inertias are model constants); broadcast before stacking
     rows = [
         jnp.stack(
-            [entries.get((r, c), zero) for c in range(n)], axis=-1
+            [
+                jnp.broadcast_to(
+                    jnp.asarray(entries.get((r, c), zero), dtype), batch
+                )
+                for c in range(n)
+            ],
+            axis=-1,
         )
         for r in range(n)
     ]

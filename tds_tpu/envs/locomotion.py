@@ -180,17 +180,32 @@ class LocomotionEnv(Env):
                 return off
         return 7 if self.model.is_floating else 0
 
+    def _set_joint_poses(self, q, poses):
+        """Scatter the compact pose vector (one entry per PD-controlled
+        1-DoF joint) into the matching q slots. Spherical joints keep their
+        identity quaternions — a contiguous q-slice write (the old code)
+        overwrote quaternion components on mixed spherical/1-DoF chains
+        like the humanoid."""
+        from tds_tpu.model.joints import JointType
+
+        k = 0
+        for i in range(self.skip_links, self.model.num_links):
+            jt = JointType(self.model.joint_types[i])
+            if jt in (JointType.FIXED, JointType.SPHERICAL):
+                continue
+            q = q.at[self.model.q_offsets[i]].set(poses[..., k])
+            k += 1
+        assert k == self.action_dim, (k, self.action_dim)
+        return q
+
     def initial_state(self, key):
         model = self.model
         q = model.zero_q()
-        off = self._joint_q_offset()
         if model.is_floating:
             q = q.at[4:7].set(self.start_base_position.astype(q.dtype))
-            q = q.at[off : off + self.action_dim].set(
-                self.initial_poses.astype(q.dtype)
-            )
+            q = self._set_joint_poses(q, self.initial_poses.astype(q.dtype))
         else:
-            n_base = min(3, off)
+            n_base = min(3, self._joint_q_offset())
             q = q.at[0:n_base].set(
                 self.start_base_position[:n_base].astype(q.dtype)
             )
@@ -198,8 +213,8 @@ class LocomotionEnv(Env):
                 key, (self.action_dim,), minval=-self.reset_noise,
                 maxval=self.reset_noise, dtype=q.dtype,
             )
-            q = q.at[off : off + self.action_dim].set(
-                self.initial_poses.astype(q.dtype) + noise
+            q = self._set_joint_poses(
+                q, self.initial_poses.astype(q.dtype) + noise
             )
         qd = model.zero_qd()
         return q, qd

@@ -54,18 +54,27 @@ def rollout(env: Env, policy_fn, params, key, num_steps: int):
     (the design that removes the reference's per-step host feedback loop,
     examples/ars/cuda_codegen.cpp:316-319).
 
-    ``policy_fn(params, obs) -> action``. Returns (total_reward, steps_alive).
+    ``policy_fn(params, obs) -> action``. Returns (total_reward,
+    steps_alive) — steps_alive is the episode length in steps (it used to
+    return the terminal 0/1 alive flag, which averaged across rollouts
+    reads as 'fraction that never terminated', not mean episode length).
     """
     state, obs = env.reset(key)
 
     def step(carry, _):
-        state, obs, total, alive = carry
+        state, obs, total, alive, steps = carry
         action = env.action_transform(policy_fn(params, obs))
         state, obs, reward, done = env.step(state, action)
         total = total + reward * alive
+        steps = steps + alive
         alive = alive * (1.0 - done.astype(obs.dtype))
-        return (state, obs, total, alive), None
+        return (state, obs, total, alive, steps), None
 
-    init = (state, obs, jnp.zeros((), obs.dtype), jnp.ones((), obs.dtype))
-    (state, obs, total, alive), _ = jax.lax.scan(step, init, None, length=num_steps)
-    return total, alive
+    init = (
+        state, obs, jnp.zeros((), obs.dtype), jnp.ones((), obs.dtype),
+        jnp.zeros((), obs.dtype),
+    )
+    (state, obs, total, alive, steps), _ = jax.lax.scan(
+        step, init, None, length=num_steps
+    )
+    return total, steps

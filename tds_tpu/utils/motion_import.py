@@ -39,13 +39,21 @@ class Motion:
         n = jnp.floor(
             time / self.frame_duration + self.frame_duration / 4.0
         ).astype(jnp.int32)
-        idx_left = jnp.mod(n, num)
-        idx_right = idx_left + 1
         if self.loop_mode == LOOP_CLAMP:
-            idx_right = jnp.minimum(idx_right, num - 1)
+            # clamp mode holds the FINAL frame past the end: clamp the frame
+            # index (wrapping it restarted the clip) and the blend weight
+            n = jnp.clip(n, 0, num - 1)
+            idx_left = n
+            idx_right = jnp.minimum(idx_left + 1, num - 1)
+            alpha = jnp.clip(
+                (time - n * self.frame_duration) / self.frame_duration,
+                0.0,
+                1.0,
+            )
         else:
-            idx_right = jnp.mod(idx_right, num)
-        alpha = (time - n * self.frame_duration) / self.frame_duration
+            idx_left = jnp.mod(n, num)
+            idx_right = jnp.mod(idx_left + 1, num)
+            alpha = (time - n * self.frame_duration) / self.frame_duration
         left = self.frames[idx_left]
         right = self.frames[idx_right]
         return (1.0 - alpha)[..., None] * left + alpha[..., None] * right

@@ -170,6 +170,8 @@ def resolve_contacts(world: World, qs, qds, dt, kins=None, factors=None):
                     world.bodies[j], qs[j], qds[j],
                     batch, dt, world.spring,
                     kin_a=kin_list[i], kin_b=kin_list[j],
+                    factor_a=factors[i] if factors is not None else None,
+                    factor_b=factors[j] if factors is not None else None,
                 )
             else:
                 qd_a, qd_b, _ = resolve_collision(

@@ -41,7 +41,7 @@ def _free_body(inertia_diag):
 
 
 def _spin(model, q0, qd0, steps, gravity=(0.0, 0.0, 0.0)):
-    tau = jnp.zeros(model.dof_qd, q0.dtype)
+    tau = jnp.zeros(model.dof_actuated, q0.dtype)
     g = jnp.asarray(gravity, q0.dtype)
 
     def step(carry, _):
@@ -163,3 +163,50 @@ def test_spherical_damping_default_matches_reference():
     np.testing.assert_allclose(
         np.asarray(qd1)[2], 10.0 * 0.995, rtol=1e-9
     )
+
+
+def test_pd_targets_align_after_spherical_joint():
+    """COMPACT pose-vector convention: spherical joints consume no
+    q_targets slots, so 1-DoF joints AFTER a spherical joint track their
+    own targets. Before the fix pd_tau advanced pose_index by 4 (the
+    reference's dead convention) and every later joint silently tracked
+    the LAST target via JAX's clamped gather."""
+    from tds_tpu.control.pd import pd_tau
+
+    b = MultiBodyBuilder(name="mixed")
+    b.add_link(JointType.SPHERICAL, -1, mass=1.0, com=(0, 0, 0.1),
+               inertia_about_com=np.diag([0.05, 0.05, 0.02]))
+    b.add_link(JointType.REVOLUTE_X, 0, mass=1.0, com=(0, 0, 0.1),
+               inertia_about_com=np.diag([0.01] * 3))
+    b.add_link(JointType.REVOLUTE_Y, 1, mass=1.0, com=(0, 0, 0.1),
+               inertia_about_com=np.diag([0.01] * 3))
+    m = b.finalize()
+    q, qd = m.zero_q(), m.zero_qd()
+    targets = jnp.asarray([0.3, -0.2], jnp.float64)
+    tau = pd_tau(m, q, qd, targets, kp=10.0, kd=0.0, max_force=100.0)
+    # spherical at identity with zero qd -> zero torque; revolute joints
+    # pull toward THEIR targets
+    np.testing.assert_allclose(np.asarray(tau[:3]), 0.0, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(tau[3]), 10.0 * 0.3, rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(tau[4]), 10.0 * -0.2, rtol=1e-12)
+
+
+def test_humanoid_reset_preserves_spherical_quaternions():
+    """initial_state must scatter the compact pose vector into 1-DoF q
+    slots only; the old contiguous q-slice write clobbered quaternion
+    components of spherical joints on the humanoid."""
+    import jax as _jax
+
+    from tds_tpu.envs.humanoid import HumanoidEnv
+
+    env = HumanoidEnv(dtype=jnp.float64)
+    q, qd = env.initial_state(_jax.random.PRNGKey(0))
+    m = env.model
+    for i in range(m.num_links):
+        if JointType(m.joint_types[i]) == JointType.SPHERICAL:
+            qo = m.q_offsets[i]
+            quat = np.asarray(q[qo:qo + 4])
+            np.testing.assert_allclose(
+                quat, [0.0, 0.0, 0.0, 1.0], atol=1e-12,
+                err_msg=f"spherical joint {i} quaternion corrupted: {quat}",
+            )

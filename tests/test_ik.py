@@ -135,3 +135,16 @@ def test_panda_pushes_box():
     # box slides on the ground, it does not tumble or sink
     box_z = np.asarray(box_z)
     assert np.all(np.abs(box_z - 0.03) < 0.01), (box_z.min(), box_z.max())
+
+
+def test_batched_q0(panda):
+    # batched q0 solves all problems at once and matches per-item solves
+    targets = jnp.asarray((0.45, 0.1, 0.3), jnp.float64)
+    q0s = jnp.stack([HOME_Q, HOME_Q + 0.05, HOME_Q - 0.05])
+    res = inverse_kinematics(
+        panda, [IKTarget(EE, targets)], q0s,
+        method=IKMethod.DAMPED_LM, max_iterations=200,
+    )
+    assert res.q.shape == (3, panda.dof_q)
+    assert res.residual.shape == (3,)
+    assert np.all(np.asarray(res.residual) < 1e-3), res.residual
