@@ -8,12 +8,14 @@ should use the functional API directly (and gets jit/vmap/grad for free;
 the _ad/_dual scalar-variant modules are unnecessary here because every
 function is differentiable).
 
-Covered surface (pytinydiffsim.inl:657-815 and the module tour in
-python/examples): Vector3/Quaternion helpers, TinyMultiBody with q/qd/tau
-properties and forward_dynamics/integrate helpers, TinyWorld with
-step(), UrdfParser-style loaders, and the free functions
-forward_dynamics / integrate_euler / mass_matrix / point_jacobian /
-inverse_dynamics / inverse_kinematics.
+Covered surface: every class and free-function name the reference binds in
+pytinydiffsim.inl (all 84 `py::class_`/`m.def` entries — verified by a
+name sweep in tests; the _ad/_dual scalar-variant modules and the OpenGL
+module are intentionally out, see the tail of this file): math types and
+constructors, TinyMultiBody/TinyWorld/UrdfParser, the scalar-trait math
+surface, contact-point and constraint-solver objects, actuators, IK,
+TinyRaycast volume fitting, enums with export_values parity, env
+simulation records and stateful EnvOutput-style adapters.
 """
 
 from typing import List, Optional
@@ -300,15 +302,21 @@ def cast_rays(origins, targets, shapes, transforms):
 
 # ---- environments (pytinydiffsim.inl:1078-1185) ------------------------------
 def ReacherEnv(**kw):
+    """inl:1100 analog: .inl-style stateful API (reset()/step(a)/rollout)
+    plus functional passthrough (reset(key)/step(state, action))."""
     from tds_tpu.envs.reacher import ReacherEnv as _E
 
-    return _E(**kw)
+    return TinyEnv(
+        _E(**kw), output_cls=ReacherEnvOutput, rollout_cls=ReacherRolloutOutput
+    )
 
 
 def CartpoleEnv(**kw):
     from tds_tpu.envs.cartpole import CartpoleEnv as _E
 
-    return _E(**kw)
+    return TinyEnv(
+        _E(**kw), output_cls=CartpoleEnvOutput, rollout_cls=CartpoleRolloutOutput
+    )
 
 
 def AntEnv(**kw):
@@ -330,13 +338,23 @@ def _vectorized(env, num_envs, auto_reset=True):
 
 
 def VectorizedAntEnv(num_envs: int = 128, auto_reset: bool = True, **kw):
-    """inl:1185 analog: batched ant env (vmap replaces the CUDA stepper)."""
-    return _vectorized(AntEnv(**kw), num_envs, auto_reset)
+    """inl:1185 analog: batched ant env (vmap replaces the CUDA stepper).
+    Returns a TinyVectorizedEnv adapter: functional reset(key)/step(states,
+    actions) passthrough PLUS the stateful .inl API (defined below)."""
+    return TinyVectorizedEnv(
+        _vectorized(AntEnv(**kw), num_envs, auto_reset),
+        urdf_filename="gym/ant_org_xyz_xyzrot.urdf",
+        output_cls_name="VectorizedAntEnvOutput",
+    )
 
 
 def VectorizedLaikagoEnv(num_envs: int = 128, auto_reset: bool = True, **kw):
     """inl:1165 analog: batched laikago env."""
-    return _vectorized(LaikagoEnv(**kw), num_envs, auto_reset)
+    return TinyVectorizedEnv(
+        _vectorized(LaikagoEnv(**kw), num_envs, auto_reset),
+        urdf_filename="laikago/laikago_toes_zup_xyz_xyzrot.urdf",
+        output_cls_name="VectorizedLaikagoEnvOutput",
+    )
 
 
 def fraction(n, d):
@@ -742,6 +760,557 @@ from tds_tpu.urdf.structures import (  # noqa: E402
     UrdfStructures as TinyUrdfStructures,
     UrdfVisual as TinyUrdfVisual,
 )
+
+# ---- matrix constructors (pytinydiffsim.inl Matrix surface) ------------------
+# The bindings expose fixed/dynamic matrix types; here every matrix is a jnp
+# array, so these are shape-checked constructors (zeros by default, identity
+# for the square 3x3 as in the reference's default-constructed TinyMatrix3x3).
+def Matrix3(values=None):
+    if values is None:
+        return jnp.eye(3)
+    m = jnp.asarray(values, dtype=jnp.result_type(float))
+    assert m.shape[-2:] == (3, 3), f"Matrix3 expects 3x3, got {m.shape}"
+    return m
+
+
+def Matrix(rows, cols=None):
+    """MatrixXxX: Matrix(r, c) -> zeros; Matrix(nested_list) -> array."""
+    if cols is not None:
+        return jnp.zeros((int(rows), int(cols)))
+    return jnp.asarray(rows, dtype=jnp.result_type(float))
+
+
+def Matrix3X(cols_or_values):
+    if isinstance(cols_or_values, int):
+        return jnp.zeros((3, cols_or_values))
+    m = jnp.asarray(cols_or_values, dtype=jnp.result_type(float))
+    assert m.shape[-2] == 3, f"Matrix3X expects 3 rows, got {m.shape}"
+    return m
+
+
+def Matrix6x3(values=None):
+    if values is None:
+        return jnp.zeros((6, 3))
+    m = jnp.asarray(values, dtype=jnp.result_type(float))
+    assert m.shape[-2:] == (6, 3), f"Matrix6x3 expects 6x3, got {m.shape}"
+    return m
+
+
+TinyMatrix3x3 = Matrix3
+TinyMatrix3xX = Matrix3X
+TinyMatrixXxX = Matrix
+TinyVectorX = VectorX
+TinyVector3 = Vector3
+TinyQuaternion = Quaternion
+
+
+# ---- enums (pytinydiffsim.inl:525-546,719-741,827-833) -----------------------
+import enum as _enum  # noqa: E402
+
+from tds_tpu.model.joints import JointType as _JointType  # noqa: E402
+
+
+class TinyJointType(_enum.IntEnum):
+    """JointType with the bindings' JOINT_* spelling (link.hpp:9-21; values
+    identical to model.joints.JointType)."""
+
+    JOINT_FIXED = int(_JointType.FIXED)
+    JOINT_PRISMATIC_X = int(_JointType.PRISMATIC_X)
+    JOINT_PRISMATIC_Y = int(_JointType.PRISMATIC_Y)
+    JOINT_PRISMATIC_Z = int(_JointType.PRISMATIC_Z)
+    JOINT_PRISMATIC_AXIS = int(_JointType.PRISMATIC_AXIS)
+    JOINT_REVOLUTE_X = int(_JointType.REVOLUTE_X)
+    JOINT_REVOLUTE_Y = int(_JointType.REVOLUTE_Y)
+    JOINT_REVOLUTE_Z = int(_JointType.REVOLUTE_Z)
+    JOINT_REVOLUTE_AXIS = int(_JointType.REVOLUTE_AXIS)
+    JOINT_SPHERICAL = int(_JointType.SPHERICAL)
+    JOINT_INVALID = -2
+
+
+class TinyGeometryTypes(_enum.IntEnum):
+    """geometry.hpp:30-38 values (SPHERE=0, PLANE, CAPSULE, MESH, BOX,
+    CYLINDER)."""
+
+    SPHERE_TYPE = 0
+    PLANE_TYPE = 1
+    CAPSULE_TYPE = 2
+    MESH_TYPE = 3
+    BOX_TYPE = 4
+    CYLINDER_TYPE = 5
+
+
+from tds_tpu.learn.nn import Activation as _Activation  # noqa: E402
+
+
+class NeuralNetworkActivation(_enum.IntEnum):
+    """math/neural_network.hpp:33-42 values (== learn.nn.Activation)."""
+
+    NN_ACT_IDENTITY = int(_Activation.IDENTITY)
+    NN_ACT_TANH = int(_Activation.TANH)
+    NN_ACT_SIN = int(_Activation.SIN)
+    NN_ACT_RELU = int(_Activation.RELU)
+    NN_ACT_SOFT_RELU = int(_Activation.SOFT_RELU)
+    NN_ACT_ELU = int(_Activation.ELU)
+    NN_ACT_SIGMOID = int(_Activation.SIGMOID)
+    NN_ACT_SOFTSIGN = int(_Activation.SOFTSIGN)
+
+
+class NeuralNetworkInitialization(_enum.IntEnum):
+    """math/neural_network.hpp:44-48."""
+
+    NN_INIT_ZERO = -1
+    NN_INIT_XAVIER = 0
+    NN_INIT_HE = 1
+
+
+from tds_tpu.contact.spring import VelocitySmoothing as _VelSmooth  # noqa: E402
+
+
+class TinyVelocitySmoothingMethod(_enum.IntEnum):
+    """mb_constraint_solver_spring smoothing enum (== spring.VelocitySmoothing)."""
+
+    SMOOTH_VEL_NONE = int(_VelSmooth.NONE)
+    SMOOTH_VEL_SIGMOID = int(_VelSmooth.SIGMOID)
+    SMOOTH_VEL_TANH = int(_VelSmooth.TANH)
+    SMOOTH_VEL_ABS = int(_VelSmooth.ABS)
+
+
+# export_values() parity: the reference injects enum members at module scope
+for _e in (
+    TinyJointType,
+    TinyGeometryTypes,
+    NeuralNetworkActivation,
+    NeuralNetworkInitialization,
+    TinyVelocitySmoothingMethod,
+):
+    for _member in _e:
+        globals()[_member.name] = _member
+del _e, _member
+
+
+# ---- TinyPose / TinyLink / ArticulatedBodyInertia (inl:450-457,548-561) ------
+from tds_tpu.algebra.inertia import (  # noqa: E402
+    ArticulatedBodyInertia,
+    RigidBodyInertia,
+)
+
+
+class TinyPose:
+    """Position + quaternion pose (pose.hpp veneer; inl:450-457)."""
+
+    def __init__(self, position=None, orientation=None):
+        self.position = jnp.zeros(3) if position is None else jnp.asarray(position)
+        self.orientation = (
+            jnp.asarray([0.0, 0.0, 0.0, 1.0])
+            if orientation is None
+            else jnp.asarray(orientation)
+        )
+
+    def transform(self, point):
+        r = _quat.to_matrix(self.orientation)
+        return self.position + r @ jnp.asarray(point)
+
+    def inverse_transform(self, point):
+        r = _quat.to_matrix(self.orientation)
+        return r.T @ (jnp.asarray(point) - self.position)
+
+
+class TinyLink:
+    """Standalone link record (link.hpp veneer; inl:548-561). The functional
+    core keeps links inside the static MultiBodyModel pytree; this class
+    exists for scripts that build/inspect links imperatively."""
+
+    def __init__(self, joint_type, X_T, rbi: RigidBodyInertia):
+        self.joint_type = TinyJointType(int(joint_type))
+        self.X_T = X_T  # parent-to-joint frame Transform
+        self.rbi = rbi
+        self.axis = jnp.asarray([1.0, 0.0, 0.0])  # for *_AXIS joints
+        self.stiffness = 0.0
+        self.damping = 0.0
+        self.link_name = ""
+        self.joint_name = ""
+        self.q_index = -1
+        self.qd_index = -1
+        self.world_transform = None  # set by jcalc
+
+    def set_joint_type(self, joint_type):
+        self.joint_type = TinyJointType(int(joint_type))
+
+    def jcalc(self, q_link, parent_transform=None):
+        """X_parent = X_T * X_J(q); stores & returns the world transform
+        given the parent's (identity if omitted). link.hpp:229-287 analog."""
+        from tds_tpu.algebra.transform import Transform as _T
+        from tds_tpu.model.joints import jcalc_transform
+
+        q_link = jnp.atleast_1d(jnp.asarray(q_link, dtype=jnp.result_type(float)))
+        x_parent = jcalc_transform(
+            _JointType(int(self.joint_type)), self.X_T, self.axis, q_link
+        )
+        base = _T.identity() if parent_transform is None else parent_transform
+        self.world_transform = base.compose(x_parent)
+        return self.world_transform
+
+
+# ---- TinyRaycast shape-fitting utility (inl:879-891) -------------------------
+class TinyRaycastResult:
+    """tiny_raycast.h TinyRaycastResult (hit_fraction, collider_index)."""
+
+    def __init__(self, hit_fraction=1.0, collider_index=-1):
+        self.hit_fraction = float(hit_fraction)
+        self.collider_index = int(collider_index)
+
+    def __repr__(self):
+        return f"TinyRaycastResult({self.hit_fraction:.6f}, {self.collider_index})"
+
+
+class TinyRaycast:
+    """Entry/exit ray sweeps over TinyUrdfCollision shapes plus the
+    interval-union volume estimators the reference's shape-fitting examples
+    use (tiny_raycast.h:92-265). Host-side utility (plain Python over small
+    ray grids), not a sim hot path — the traced-path raycaster lives in
+    collision/raycast.py."""
+
+    @staticmethod
+    def _collider_intervals(ray_from, ray_to, collider):
+        """[(t_enter, t_exit)] of the ray segment inside one collider."""
+        import math
+
+        f = np.asarray(ray_from, dtype=float)
+        t = np.asarray(ray_to, dtype=float)
+        d = t - f
+        geom = collider.geometry
+        kind = geom.geom_type
+        if kind == "sphere":
+            rs = f - np.asarray(collider.origin_xyz, dtype=float)
+            a = float(d @ d)
+            b = float(rs @ d)
+            c = float(rs @ rs) - geom.radius**2
+            disc = b * b - a * c
+            if disc <= 0.0 or a == 0.0:
+                return []
+            sq = math.sqrt(disc)
+            t0, t1 = (-b - sq) / a, (-b + sq) / a
+        elif kind == "box":
+            from tds_tpu.algebra import rotation as _rot
+
+            rpy = np.asarray(collider.origin_rpy, dtype=float)
+            r = np.asarray(_rot.from_rpy(rpy[0], rpy[1], rpy[2]))
+            o = np.asarray(collider.origin_xyz, dtype=float)
+            fl, dl = r.T @ (f - o), r.T @ d
+            half = np.asarray(geom.extents, dtype=float) / 2.0
+            # slab method
+            t0, t1 = -np.inf, np.inf
+            for ax in range(3):
+                if abs(dl[ax]) < 1e-300:
+                    if abs(fl[ax]) > half[ax]:
+                        return []
+                    continue
+                lo = (-half[ax] - fl[ax]) / dl[ax]
+                hi = (half[ax] - fl[ax]) / dl[ax]
+                t0, t1 = np.maximum(t0, np.minimum(lo, hi)), np.minimum(
+                    t1, np.maximum(lo, hi)
+                )
+            if not np.isfinite(t0) or not np.isfinite(t1):
+                return []
+        else:
+            raise NotImplementedError(
+                f"TinyRaycast supports sphere and box colliders, got {kind!r} "
+                "(matches the reference, tiny_raycast.h:106-155)"
+            )
+        t0c, t1c = np.clip(t0, 0.0, 1.0), np.clip(t1, 0.0, 1.0)
+        if t1 < 0.0 or t0 > 1.0 or t1c <= t0c:
+            return []
+        return [(float(t0c), float(t1c))]
+
+    def cast_rays(self, rays_from, rays_to, collision_objects):
+        """Per-ray sorted entry/exit TinyRaycastResult lists (inl cast_rays)."""
+        out = []
+        for f, t in zip(rays_from, rays_to):
+            hits = []
+            for ci, col in enumerate(collision_objects):
+                for t0, t1 in self._collider_intervals(f, t, col):
+                    hits.append(TinyRaycastResult(t0, ci))
+                    hits.append(TinyRaycastResult(t1, ci))
+            hits.sort(key=lambda h: h.hit_fraction)
+            out.append(hits)
+        return out
+
+    @staticmethod
+    def _union_intervals(hits):
+        """Merge a ray's sorted entry/exit events into disjoint occupied
+        [t0, t1) intervals (any collider counts)."""
+        open_count = {}
+        inside = 0
+        spans = []
+        start = 0.0
+        for h in hits:
+            c = h.collider_index
+            if open_count.get(c, 0) > 0:  # exit event
+                open_count[c] -= 1
+                inside -= 1
+                if inside == 0:
+                    spans.append((start, h.hit_fraction))
+            else:  # entry event
+                open_count[c] = open_count.get(c, 0) + 1
+                if inside == 0:
+                    start = h.hit_fraction
+                inside += 1
+        return spans
+
+    def volume(self, results, num_objects=None):
+        """Sum over rays of the union footprint along each ray
+        (tiny_raycast.h:166-197 semantics; scale by ray length * cell area
+        outside, as the reference examples do)."""
+        del num_objects  # implied by the events themselves here
+        total = 0.0
+        for hits in results:
+            for t0, t1 in self._union_intervals(hits):
+                total += t1 - t0
+        return total
+
+    def intersection_volume(self, results_target, results_prims, num_objects=None):
+        """Footprint covered by BOTH the target shape and the primitive set
+        (tiny_raycast.h:199-265 semantics via interval intersection)."""
+        del num_objects
+        total = 0.0
+        for t_hits, p_hits in zip(results_target, results_prims):
+            ts = self._union_intervals(t_hits)
+            ps = self._union_intervals(p_hits)
+            for a0, a1 in ts:
+                for b0, b1 in ps:
+                    lo, hi = np.maximum(a0, b0), np.minimum(a1, b1)
+                    if hi > lo:
+                        total += float(hi - lo)
+        return total
+
+
+# ---- misc free functions (inl:493,672) ---------------------------------------
+def get_debug_double(x):
+    """Scalar -> python float (MyTinyConstants::getDouble)."""
+    return float(np.asarray(x))
+
+
+def mb_collision_geometries(mb: TinyMultiBody):
+    """Collision geometries attached to a multibody (inl:672)."""
+    return list(mb.geoms)
+
+
+# ---- env simulations + stateful .inl-style env API (inl:940-1185) ------------
+class CartpoleSimulation:
+    """Record parity with the bound contact-sim structs: holds the resolved
+    URDF path (cartpole_environment.h:27-70 analog)."""
+
+    def __init__(self):
+        self.m_urdf_filename = find_file("cartpole.urdf")
+
+
+class ReacherSimulation:
+    def __init__(self):
+        self.m_urdf_filename = find_file("gym/reacher.urdf")
+
+
+class AntContactSimulation:
+    def __init__(self):
+        self.m_urdf_filename = find_file("gym/ant_org_xyz_xyzrot.urdf")
+
+
+class _EnvOutput:
+    """obs/reward/done record (CartpoleEnvOutput et al., inl:947-975)."""
+
+    def __init__(self, obs=None, reward=0.0, done=False):
+        self.obs = obs
+        self.reward = reward
+        self.done = done
+
+
+class CartpoleEnvOutput(_EnvOutput):
+    pass
+
+
+class ReacherEnvOutput(_EnvOutput):
+    pass
+
+
+class _RolloutOutput:
+    def __init__(self, total_reward=0.0, num_steps=0):
+        self.total_reward = total_reward
+        self.num_steps = num_steps
+
+
+class CartpoleRolloutOutput(_RolloutOutput):
+    pass
+
+
+class ReacherRolloutOutput(_RolloutOutput):
+    pass
+
+
+class TinyEnv:
+    """Stateful .inl-flavoured adapter over any functional env: reset() ->
+    obs, step(action) -> EnvOutput, rollout(params) -> RolloutOutput,
+    init_neural_network / update_weights / policy / seed (inl:1078-1130).
+    New code should use the functional env directly (jit/vmap/scan-able)."""
+
+    _output_cls = _EnvOutput
+    _rollout_cls = _RolloutOutput
+
+    def __init__(self, env, rollout_length: int = 1000, output_cls=None,
+                 rollout_cls=None):
+        import jax as _jax
+
+        from tds_tpu.learn.nn import linear_policy
+
+        self.env = env
+        self.rollout_length = rollout_length
+        if output_cls is not None:
+            self._output_cls = output_cls
+        if rollout_cls is not None:
+            self._rollout_cls = rollout_cls
+        self._policy = linear_policy(env.observation_dim, env.action_dim)
+        self._params = jnp.zeros(self._policy.num_parameters)
+        self._key = _jax.random.PRNGKey(0)
+        self._state = None
+
+    def __getattr__(self, name):
+        # delegate everything else (observation_dim, action_dim, model, ...)
+        if name == "env":  # not yet set (unpickling) — avoid recursion
+            raise AttributeError(name)
+        return getattr(self.env, name)
+
+    def seed(self, n):
+        import jax as _jax
+
+        self._key = _jax.random.PRNGKey(int(n))
+
+    def _split(self):
+        import jax as _jax
+
+        self._key, sub = _jax.random.split(self._key)
+        return sub
+
+    def reset(self, key=None):
+        if key is not None:  # functional passthrough
+            return self.env.reset(key)
+        self._state, obs = self.env.reset(self._split())
+        return obs
+
+    def step(self, a, b=None):
+        if b is not None:  # functional passthrough: step(state, action)
+            return self.env.step(a, b)
+        self._state, obs, reward, done = self.env.step(self._state, jnp.asarray(a))
+        return self._output_cls(obs=obs, reward=float(reward), done=bool(done))
+
+    def init_neural_network(self, weights):
+        self._params = jnp.asarray(weights)
+
+    update_weights = init_neural_network
+
+    def policy(self, obs):
+        return self._policy.apply(self._params, jnp.asarray(obs))
+
+    def rollout(self, weights=None, max_steps=None):
+        from tds_tpu.envs.vectorized import rollout as _rollout
+
+        params = self._params if weights is None else jnp.asarray(weights)
+        total, steps = _rollout(
+            self.env,
+            self._policy.apply,
+            params,
+            self._split(),
+            max_steps or self.rollout_length,
+        )
+        return self._rollout_cls(
+            total_reward=float(total), num_steps=int(steps)
+        )
+
+
+class _VectorizedEnvOutput:
+    """obs/rewards/dones + flattened link world poses for rendering
+    (inl:1140-1160). visual_world_transforms is (num_envs, 1+links, 7)
+    rows of [pos(3), quat xyzw(4)]."""
+
+    def __init__(self, obs=None, rewards=None, dones=None, visual_world_transforms=None):
+        self.obs = obs
+        self.rewards = rewards
+        self.dones = dones
+        self.visual_world_transforms = visual_world_transforms
+
+
+class VectorizedAntEnvOutput(_VectorizedEnvOutput):
+    pass
+
+
+class VectorizedLaikagoEnvOutput(_VectorizedEnvOutput):
+    pass
+
+
+class TinyVectorizedEnv:
+    """Stateful adapter over VectorizedEnv with the .inl vectorized-env API
+    (reset() -> obs, step(actions) -> Output with visual transforms,
+    action_dim()/obs_dim()/urdf_filename()); ALSO passes through the
+    functional reset(key)/step(states, actions) when called with the
+    functional arity, so existing code keeps working."""
+
+    def __init__(self, venv, urdf_filename="", output_cls_name=""):
+        import jax as _jax
+
+        self.venv = venv
+        self.env = venv.env
+        self._urdf = urdf_filename
+        self._output_cls = (
+            globals()[output_cls_name] if output_cls_name else _VectorizedEnvOutput
+        )
+        self._key = _jax.random.PRNGKey(0)
+        self._states = None
+
+    def action_dim(self):
+        return self.env.action_dim
+
+    def obs_dim(self):
+        return self.env.observation_dim
+
+    def urdf_filename(self):
+        return self._urdf
+
+    def _split(self):
+        import jax as _jax
+
+        self._key, sub = _jax.random.split(self._key)
+        return sub
+
+    def _visual_transforms(self, states):
+        import jax as _jax
+
+        from tds_tpu.dynamics.kinematics import forward_kinematics_q
+
+        def one(q):
+            base_x, links_x, _ = forward_kinematics_q(self.env.model, q)
+            def pose7(x):
+                return jnp.concatenate([x.pos, _quat.from_matrix(x.rot)])
+            rows = [pose7(base_x)] + [pose7(x) for x in links_x]
+            return jnp.stack(rows)
+
+        return _jax.vmap(one)(states.q)
+
+    def reset(self, key=None):
+        if key is not None:  # functional passthrough
+            return self.venv.reset(key)
+        self._states, obs = self.venv.reset(self._split())
+        return obs
+
+    def step(self, a, b=None):
+        if b is not None:  # functional passthrough: step(states, actions)
+            return self.venv.step(a, b)
+        self._states, obs, rewards, dones = self.venv.step(
+            self._states, jnp.asarray(a)
+        )
+        return self._output_cls(
+            obs=obs,
+            rewards=rewards,
+            dones=dones,
+            visual_world_transforms=self._visual_transforms(self._states),
+        )
+
 
 # ---- intentionally NOT bound (with rationale) --------------------------------
 # - pytinydiffsim_ad / _dual scalar-variant modules: every function here is

@@ -241,3 +241,123 @@ def test_round3_contact_solver_bindings():
     assert float(fn) > 0.0
     ft = ssolver.compute_friction_force(jnp.asarray(10.0), jnp.asarray([0.2, 0.0]))
     assert np.isfinite(np.asarray(ft)).all()
+
+
+def test_round3_inl_surface_completion():
+    """The final .inl name sweep: matrix constructors, enums with
+    export_values, TinyPose/TinyLink, TinyRaycast volume fitting, env
+    simulation records and stateful EnvOutput adapters
+    (pytinydiffsim.inl:450-561,719-741,827-891,940-1185)."""
+    from tds_tpu import compat as pd
+
+    # matrix constructors
+    np.testing.assert_allclose(pd.Matrix3(), np.eye(3))
+    assert pd.Matrix(2, 5).shape == (2, 5)
+    assert pd.Matrix3X(4).shape == (3, 4)
+    assert pd.Matrix6x3().shape == (6, 3)
+    assert pd.TinyMatrix3x3 is pd.Matrix3
+    assert pd.TinyVectorX([1.0, 2.0]).shape == (2,)
+
+    # enums + export_values parity (module-scope members)
+    assert pd.TinyJointType.JOINT_SPHERICAL == 8
+    assert pd.JOINT_FIXED == -1
+    assert pd.TinyGeometryTypes.SPHERE_TYPE == 0
+    assert pd.NN_ACT_IDENTITY == -1
+    assert pd.NN_INIT_XAVIER == 0
+    assert pd.SMOOTH_VEL_TANH == 2
+
+    # TinyPose round trip
+    pose = pd.TinyPose(
+        [1.0, 0.0, 0.0], pd.quaternion_axis_angle([0, 0, 1], np.pi / 2)
+    )
+    p = pose.transform([1.0, 0.0, 0.0])
+    np.testing.assert_allclose(np.asarray(p), [1.0, 1.0, 0.0], atol=1e-12)
+    np.testing.assert_allclose(
+        np.asarray(pose.inverse_transform(p)), [1.0, 0.0, 0.0], atol=1e-12
+    )
+
+    # TinyLink jcalc: revolute-z quarter turn moves a unit-x offset to +y
+    from tds_tpu.algebra.transform import Transform
+
+    rbi = pd.compute_inertia_dyad(1.0, jnp.zeros(3), jnp.eye(3))
+    link = pd.TinyLink(pd.JOINT_REVOLUTE_Z, Transform.identity(), rbi)
+    xw = link.jcalc(np.pi / 2)
+    np.testing.assert_allclose(
+        np.asarray(xw.rot @ jnp.asarray([1.0, 0.0, 0.0])),
+        [0.0, 1.0, 0.0],
+        atol=1e-12,
+    )
+
+    # ArticulatedBodyInertia exposed with I/H/M fields
+    abi = pd.ArticulatedBodyInertia.from_rbi(rbi)
+    assert abi.I.shape == (3, 3) and abi.H.shape == (3, 3) and abi.M.shape == (3, 3)
+
+    # TinyRaycast: unit-diameter sphere through a 1-long ray -> chord length;
+    # volume of the union and the self-intersection agree
+    col = pd.TinyUrdfCollision()
+    col.origin_xyz = (0.0, 0.0, 0.0)
+    col.geometry = pd.TinyUrdfGeometry(geom_type="sphere", radius=0.25)
+    rc = pd.TinyRaycast()
+    hits = rc.cast_rays([[0.0, 0.0, 1.0]], [[0.0, 0.0, -1.0]], [col])
+    assert len(hits[0]) == 2  # entry + exit
+    assert hits[0][0].hit_fraction == pytest.approx(0.375)
+    assert hits[0][1].hit_fraction == pytest.approx(0.625)
+    assert rc.volume(hits) == pytest.approx(0.25)
+    assert rc.intersection_volume(hits, hits) == pytest.approx(0.25)
+
+    # box collider: axis-aligned unit box centered at origin
+    bcol = pd.TinyUrdfCollision()
+    bcol.geometry = pd.TinyUrdfGeometry(geom_type="box", extents=(1.0, 1.0, 1.0))
+    bhits = rc.cast_rays([[0.0, 0.0, 1.0]], [[0.0, 0.0, -1.0]], [bcol])
+    assert rc.volume(bhits) == pytest.approx(0.5)
+    # sphere-in-box intersection along the same ray = the sphere chord
+    assert rc.intersection_volume(hits, bhits) == pytest.approx(0.25)
+
+    # misc free functions
+    assert pd.get_debug_double(jnp.asarray(2.5)) == 2.5
+
+    # simulation records resolve bundled URDFs
+    assert pd.CartpoleSimulation().m_urdf_filename.endswith("cartpole.urdf")
+    assert pd.AntContactSimulation().m_urdf_filename.endswith(
+        "ant_org_xyz_xyzrot.urdf"
+    )
+    assert pd.ReacherSimulation().m_urdf_filename.endswith("reacher.urdf")
+
+
+def test_round3_stateful_env_adapters():
+    """CartpoleEnv/ReacherEnv now expose the .inl stateful API (reset() ->
+    obs, step(a) -> EnvOutput, rollout -> RolloutOutput, policy) while the
+    functional reset(key)/step(state, action) passthrough keeps working."""
+    from tds_tpu import compat as pd
+
+    env = pd.CartpoleEnv()
+    env.seed(3)
+    obs = env.reset()
+    assert obs.shape == (env.observation_dim,)
+    out = env.step(jnp.zeros(env.action_dim))
+    assert isinstance(out, pd.CartpoleEnvOutput)
+    assert np.isfinite(out.reward)
+    env.init_neural_network(jnp.zeros(env._policy.num_parameters))
+    act = env.policy(obs)
+    assert act.shape == (env.action_dim,)
+    ro = env.rollout(max_steps=20)
+    assert isinstance(ro, pd.CartpoleRolloutOutput)
+    assert ro.num_steps <= 20 and np.isfinite(ro.total_reward)
+
+    # functional passthrough arity
+    state, obs2 = env.reset(jax.random.PRNGKey(0))
+    state, obs2, r, d = env.step(state, jnp.zeros(env.action_dim))
+    assert np.isfinite(float(r))
+
+    # vectorized stateful adapter with visual transforms for rendering
+    venv = pd.VectorizedAntEnv(num_envs=2)
+    assert venv.action_dim() == venv.env.action_dim
+    assert venv.obs_dim() == venv.env.observation_dim
+    assert venv.urdf_filename().endswith(".urdf")
+    vobs = venv.reset()
+    assert vobs.shape == (2, venv.env.observation_dim)
+    vout = venv.step(jnp.zeros((2, venv.env.action_dim)))
+    assert isinstance(vout, pd.VectorizedAntEnvOutput)
+    assert vout.rewards.shape == (2,)
+    n_links = len(venv.env.model.joint_types)
+    assert vout.visual_world_transforms.shape == (2, 1 + n_links, 7)
