@@ -105,3 +105,76 @@ def test_ars_improves_cartpole():
     assert after > before + 8, (before, after)
     assert state.total_timesteps > 0
     assert float(state.obs_stat.count) > 0
+
+
+def test_apg_learns_cartpole_balance():
+    """First-order policy learning through the simulator (learn/apg.py):
+    jax.grad of a smooth balance cost through a lax.scan rollout trains a
+    policy that survives the REAL env's termination rules. The capability
+    the reference's differentiable core enables but never demonstrates
+    (its trainers are zeroth-order ARS / PPO)."""
+    from tds_tpu.envs.vectorized import rollout
+    from tds_tpu.learn.apg import APGConfig, init_apg, make_apg_train_step
+    from tds_tpu.learn.nn import Activation, MLPSpec
+
+    env = CartpoleEnv()
+    policy = MLPSpec(
+        env.observation_dim,
+        [16, env.action_dim],
+        [Activation.TANH, Activation.TANH],
+    )
+    cfg = APGConfig(horizon=150, batch=16, learning_rate=2e-2)
+    state, opt = init_apg(env, policy, jax.random.PRNGKey(0), cfg)
+    train = jax.jit(
+        make_apg_train_step(
+            env,
+            policy,
+            cfg,
+            reward_fn=lambda q, qd, a: -(
+                q[1] ** 2
+                + 0.05 * q[0] ** 2
+                + 0.01 * qd[1] ** 2
+                + 0.001 * qd[0] ** 2
+                + 1e-4 * jnp.sum(a**2)
+            ),
+            opt=opt,
+        )
+    )
+    _, steps_before = rollout(
+        env, policy.apply, state.params, jax.random.PRNGKey(123), 200
+    )
+    first_return = None
+    for it in range(90):
+        state, metrics = train(state)
+        if first_return is None:
+            first_return = float(metrics["mean_return"])
+    assert jnp.all(jnp.isfinite(state.params))
+    assert float(metrics["mean_return"]) > first_return  # smooth cost improved
+    _, steps_after = rollout(
+        env, policy.apply, state.params, jax.random.PRNGKey(123), 200
+    )
+    # trained policy balances through the full horizon (the example reaches
+    # 200/200 by ~iter 50); untrained xavier policy falls much earlier
+    assert int(steps_after) >= 150, (int(steps_before), int(steps_after))
+    assert int(steps_after) > int(steps_before)
+
+
+def test_apg_truncated_bptt_and_no_remat_paths():
+    """The truncation and remat knobs compile and make progress."""
+    from tds_tpu.learn.apg import APGConfig, init_apg, make_apg_train_step
+
+    env = CartpoleEnv()
+    policy = linear_policy(env.observation_dim, env.action_dim)
+    cfg = APGConfig(horizon=40, batch=4, learning_rate=1e-2, remat=False,
+                    truncation=10)
+    state, opt = init_apg(env, policy, jax.random.PRNGKey(1), cfg)
+    train = jax.jit(make_apg_train_step(
+        env, policy, cfg,
+        reward_fn=lambda q, qd, a: -(q[1] ** 2), opt=opt))
+    r0 = None
+    for _ in range(5):
+        state, metrics = train(state)
+        if r0 is None:
+            r0 = float(metrics["mean_return"])
+    assert jnp.isfinite(metrics["mean_return"])
+    assert float(metrics["grad_norm"]) > 0.0  # gradients flow despite cuts
