@@ -249,8 +249,16 @@ class LocomotionEnv(Env):
             up = quaternion.to_matrix(q[..., 0:4])[..., 2, 2]
         else:
             pos = q[..., 0:3]
-            rpy = q[..., 3:6]
-            up = rotation.from_rpy(rpy[..., 0], rpy[..., 1], rpy[..., 2])[..., 2, 2]
+            jt = tuple(int(t) for t in self.model.joint_types[:4])
+            if len(jt) == 4 and jt[3] == 8 and jt[:3] == (0, 1, 2):
+                # xyz_spherical emulated base (humanoid): q[3:7] is the
+                # base xyzw quaternion, NOT rpy
+                up = quaternion.to_matrix(q[..., 3:7])[..., 2, 2]
+            else:
+                rpy = q[..., 3:6]
+                up = rotation.from_rpy(
+                    rpy[..., 0], rpy[..., 1], rpy[..., 2]
+                )[..., 2, 2]
         return pos, up
 
     def reward_done(self, q_prev, qd_prev, q, qd):

@@ -125,3 +125,25 @@ def test_reacher_ars_improves():
     last = float(metrics["reward_pos_mean"])
     assert np.isfinite(last)
     assert last > first - 1.0, (first, last)  # not diverging
+
+
+def test_humanoid_spherical_base_up_vector(humanoid_env):
+    """base_pose_xyz_rpy must read the xyz_spherical base's QUATERNION
+    (q[3:7], xyzw), not treat q[3:6] as rpy: tilting the base by angle a
+    about a horizontal axis must give up = cos(a) exactly."""
+    import jax
+
+    from tds_tpu.algebra import quaternion
+
+    st, _ = humanoid_env.reset(jax.random.PRNGKey(0))
+    for axis, ang in (((1.0, 0.0, 0.0), jnp.pi / 3), ((0.0, 1.0, 0.0), 2.2)):
+        qt = quaternion.from_axis_angle(jnp.asarray(axis), jnp.asarray(ang))
+        q = st.q.at[3:7].set(qt)
+        _, up = humanoid_env.base_pose_xyz_rpy(q)
+        np.testing.assert_allclose(float(up), float(jnp.cos(ang)), atol=1e-12)
+    # the termination rule now fires on a real fall (126 deg > threshold)
+    q = st.q.at[3:7].set(
+        quaternion.from_axis_angle(jnp.asarray([0.0, 1.0, 0.0]), jnp.asarray(2.2))
+    )
+    _, done = humanoid_env.reward_done(st.q, st.qd, q, st.qd)
+    assert bool(done)
