@@ -14,6 +14,11 @@ never demonstrates as learning: its gradient tests stop at sys-id
 Contrast examples/laikago_ars_train.py: ARS needs thousands of rollouts to
 reach a gait; APG gets directional progress from FOUR rollouts per step.
 
+Scaling up (horizon=100, truncation=20, 400 iterations, ~6 min CPU)
+reaches 0.87 m/s sustained over a full 1000-step upright eval
+(up_z >= 0.84); that checkpoint is committed as
+logs/laikago_apg/policy_h100.pkl.
+
 Run: PYTHONPATH=. python examples/laikago_apg.py
 """
 

@@ -212,3 +212,47 @@ def test_apg_through_laikago_contact():
     assert jnp.all(jnp.isfinite(state.params))
     # late-phase mean beats the first iteration's return
     assert sum(returns[-5:]) / 5 > returns[0], returns
+
+
+def test_committed_apg_policy_walks():
+    """Pins logs/laikago_apg/policy_h100.pkl (400 APG iterations, horizon
+    100): >= 0.25 m forward over a 500-step scanned eval, never leaving
+    upright posture. Guards both the checkpoint and the APG training
+    setup's reproducibility."""
+    import os
+    import pickle
+
+    from tds_tpu.envs.laikago import LaikagoEnv
+    from tds_tpu.learn.nn import Activation, MLPSpec
+
+    path = os.path.join(
+        os.path.dirname(__file__), "..", "logs", "laikago_apg", "policy_h100.pkl"
+    )
+    with open(path, "rb") as f:
+        params = jnp.asarray(pickle.load(f)["params"], jnp.float32)
+
+    env = LaikagoEnv(dtype=jnp.float32)
+    policy = MLPSpec(
+        env.observation_dim,
+        [32, env.action_dim],
+        [Activation.TANH, Activation.TANH],
+    )
+
+    st0, obs0 = env.reset(jax.random.PRNGKey(5))
+
+    @jax.jit
+    def rollout(state, obs):
+        def body(carry, _):
+            state, obs = carry
+            state, obs, _, done = env.step(state, policy.apply(params, obs))
+            _, up = env.base_pose_xyz_rpy(state.q)
+            return (state, obs), (up, done)
+
+        (state, _), (ups, dones) = jax.lax.scan(body, (state, obs), None, length=500)
+        return state.q[0], jnp.min(ups), jnp.any(dones)
+
+    x, up_min, any_done = rollout(st0, obs0)
+    dx = float(x) - float(st0.q[0])
+    assert not bool(any_done)
+    assert dx > 0.25, dx  # actual: 0.279 m in 0.5 s (gait still accelerating)
+    assert float(up_min) > 0.8, float(up_min)  # actual: 0.97
