@@ -237,6 +237,56 @@ def main():
         file=sys.stderr,
     )
 
+    # headline metric: the TPU-native training inner loop — a 1000-step
+    # lax.scan rollout (policy MLP + physics + reward/done + auto-reset all
+    # on-device, no host feedback) with a forced scalar readback so the
+    # 37 ms tunnel RTT is <2% of the measured 2.4 s window. This is the
+    # shape ARS/APG actually run (learn/ars.py rollouts are scans) and the
+    # design SURVEY.md §7 calls for in place of the reference's per-step
+    # host feedback loop (cuda_codegen.cpp:316). Measured 2026-08-19:
+    # scan fusion buys ~8% over 100 dependency-chained dispatches.
+    import numpy as np
+
+    scan_len = 1000
+
+    def rollout(states, obs):
+        def body(carry, _):
+            st, ob = carry
+            actions = jax.vmap(lambda o: policy.apply(params, o))(ob)
+            st, ob, _reward, _done = jax.vmap(env.step)(st, actions)
+            return (st, ob), ()
+
+        (states, obs), _ = jax.lax.scan(
+            body, (states, obs), None, length=scan_len
+        )
+        return states, obs
+
+    t0 = time.time()
+    rollout_c = jax.jit(rollout).lower(states0, obs0).compile()
+    compile_rollout_s = time.time() - t0
+    best_rollout = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        _st, obs_out = rollout_c(states0, obs0)
+        np.asarray(obs_out[0, 0])  # force device->host readback
+        best_rollout = min(best_rollout, time.time() - t0)
+    rollout_steps_per_s = batch * scan_len / best_rollout
+    print(
+        json.dumps(
+            {
+                "metric": "laikago_scan_rollout_env_steps_per_s",
+                "value": round(rollout_steps_per_s, 1),
+                "unit": "steps/s",
+                "vs_baseline": round(rollout_steps_per_s / 2.0e5, 3),
+            }
+        )
+    )
+    print(
+        f"# scan-rollout: len={scan_len} best={best_rollout:.4f}s "
+        f"compile={compile_rollout_s:.1f}s",
+        file=sys.stderr,
+    )
+
 
 if __name__ == "__main__":
     main()
