@@ -16,24 +16,34 @@ def compound_pendulum(
     num_links: int = 2,
     masses=None,
     link_length: float = 0.5,
+    link_lengths=None,
     dtype=None,
 ) -> MultiBodyModel:
     """n-link compound pendulum swinging in the y-z plane (revolute X joints).
 
     Matches init_compound_pendulum (pendulum.hpp:10-56): each link's joint
-    sits ``link_length`` below the parent joint (X_T translation (0,0,-L)
+    sits one link length below the parent joint (X_T translation (0,0,-L)
     for links i>0), the point mass sits at the link's COM offset (0, 0, -L).
+    ``link_lengths`` gives per-link lengths (pendulum.hpp's optional
+    vector, used by the real-data estimation example with the IBM
+    pendulum's 0.091/0.070 m rods); ``link_length`` is the uniform
+    fallback.
     """
     if masses is None:
         masses = [1.0] * num_links
     assert len(masses) == num_links
+    if link_lengths is None:
+        link_lengths = [link_length] * num_links
+    assert len(link_lengths) == num_links
     b = MultiBodyBuilder(is_floating=False, name=f"pendulum{num_links}")
     for i in range(num_links):
-        com = np.array([0.0, 0.0, -link_length])
+        com = np.array([0.0, 0.0, -link_lengths[i]])
         b.add_link(
             JointType.REVOLUTE_X,
             parent=i - 1,
-            x_t_pos=(0.0, 0.0, 0.0) if i == 0 else (0.0, 0.0, -link_length),
+            x_t_pos=(0.0, 0.0, 0.0)
+            if i == 0
+            else (0.0, 0.0, -link_lengths[i - 1]),
             mass=masses[i],
             com=com,
             inertia_about_com=np.zeros((3, 3)),  # point mass

@@ -1,0 +1,180 @@
+"""Real experimental data: loading, IK, and sys-id that actually fits it.
+
+The reference bundles real hardware datasets for exactly this workload
+(data/ibm-double-pendulum consumed by examples/ceres_estimation_real.cpp,
+schmidt-lipson-exp-data consumed via src/utils/dataset.hpp). These tests
+run the tds_tpu port end-to-end on the bundled subsets: marker CSV ->
+closed-form IK -> differentiable-rollout parameter fit, asserting a
+measured error reduction on data the optimizer never saw.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tds_tpu.utils.dataset import (
+    load_ibm_pendulum,
+    load_schmidt_lipson,
+    pendulum_ik,
+)
+
+LINK_LENGTHS = (0.091, 0.070)
+GRAVITY = jnp.array([0.0, 0.0, -9.81])
+
+
+def test_ibm_loader_and_ik():
+    markers = load_ibm_pendulum()
+    assert len(markers) > 10000 and markers.data.shape[1] == 6
+    assert markers.dt == pytest.approx(1.0 / 400.0)
+    angles = pendulum_ik(markers)
+    q = angles.data
+    assert q.shape == (len(markers), 2)
+    # IK angles must be continuous (the anti-wraparound logic,
+    # load_ibm_data.h:36-44): at 400 Hz the pendulum cannot jump ~2*pi
+    # between samples even while spinning
+    dq = np.abs(np.diff(q, axis=0))
+    assert dq.max() < 0.9 * np.pi
+    # and the two rods' pixel lengths must be consistent with the known
+    # 0.091/0.070 m hardware (sanity that the column interpretation and
+    # marker ordering are right)
+    l1 = np.hypot(
+        markers.column("x1") - markers.column("x0"),
+        markers.column("y1") - markers.column("y0"),
+    )
+    l2 = np.hypot(
+        markers.column("x2") - markers.column("x1"),
+        markers.column("y2") - markers.column("y1"),
+    )
+    ratio = np.median(l1) / np.median(l2)
+    assert ratio == pytest.approx(LINK_LENGTHS[0] / LINK_LENGTHS[1], rel=0.05)
+
+
+def test_schmidt_lipson_loader():
+    ds = load_schmidt_lipson()
+    assert ds.data.shape[1] == 10
+    trial0 = load_schmidt_lipson(trial=0)
+    assert 0 < len(trial0) <= len(ds)
+    assert np.all(np.diff(trial0.column("t")) > 0)
+    # angles are radians-scale, velocities rad/s-scale
+    assert np.abs(trial0.column("th1")).max() < 20.0
+
+
+def _rollout(model, q0, qd0, dt, n):
+    from tds_tpu.dynamics import forward_dynamics, integrate_euler
+
+    def step(carry, _):
+        q, qd = carry
+        qdd = forward_dynamics(model, q, qd, jnp.zeros(2, q.dtype), GRAVITY)
+        return integrate_euler(model, q, qd, qdd, dt), q
+
+    _, traj = jax.lax.scan(step, (q0, qd0), None, length=n)
+    return traj
+
+
+def _build(masses, inertia_diag, damping):
+    from tds_tpu.model.pendulum import compound_pendulum
+
+    base = compound_pendulum(2, link_lengths=list(LINK_LENGTHS))
+    c = jnp.array(
+        [[0.0, 0.0, -LINK_LENGTHS[0]], [0.0, 0.0, -LINK_LENGTHS[1]]]
+    )
+    l2 = jnp.array([LINK_LENGTHS[0] ** 2, LINK_LENGTHS[1] ** 2])
+    parallel = jnp.stack([jnp.diag(jnp.array([l, l, 0.0])) for l in l2])
+    inertia = (
+        jax.vmap(jnp.diag)(inertia_diag.reshape(2, 3))
+        + masses[:, None, None] * parallel
+    )
+    return base.replace(
+        mass=masses,
+        com=masses[:, None] * c,
+        inertia=inertia,
+        damping=damping,
+    )
+
+
+def test_ibm_sys_id_reduces_heldout_error():
+    """Compressed ceres_estimation_real workload: fit masses + inertia +
+    damping + initial velocity + dt to 1 s of real data with the horizon
+    curriculum, assert the fitted model predicts a held-out continuation
+    markedly better than the initial guess (the full study lives in
+    examples/ibm_pendulum_sys_id.py)."""
+    from tds_tpu.utils.estimation import (
+        EstimationParameter,
+        OptimizationProblem,
+        adam_estimate,
+    )
+
+    target_all = jnp.asarray(pendulum_ik(load_ibm_pendulum().clip(1.5)).data)
+    n_train = 400
+    target = target_all[:n_train]
+    q0 = target[0]
+    fd0 = np.asarray((target_all[1] - target_all[0]) * 400.0)
+
+    def unpack(x):
+        return x[0:2], x[2:8], x[8:10], x[10], x[11:13]
+
+    def model_of(x):
+        masses, idiag, _, _, damping = unpack(x)
+        return _build(masses, idiag, damping)
+
+    def mkcost(h):
+        def cost(x):
+            _, _, qd0, dt, _ = unpack(x)
+            traj = _rollout(model_of(x), q0, qd0, dt, h)
+            return jnp.mean((traj - target[:h]) ** 2)
+
+        return cost
+
+    params = [
+        EstimationParameter("m0", 0.2, minimum=0.01, maximum=2.0),
+        EstimationParameter("m1", 0.2, minimum=0.01, maximum=2.0),
+    ]
+    params += [
+        EstimationParameter(f"I{l}{a}", 1e-4, minimum=0.0, maximum=0.05)
+        for l in (0, 1)
+        for a in "xyz"
+    ]
+    params += [
+        EstimationParameter("qd0", float(fd0[0]), minimum=-50, maximum=50),
+        EstimationParameter("qd1", float(fd0[1]), minimum=-50, maximum=50),
+        EstimationParameter("dt", 1 / 400, minimum=1 / 1000, maximum=1 / 50),
+        EstimationParameter("d0", 1e-4, minimum=0.0, maximum=0.1),
+        EstimationParameter("d1", 1e-4, minimum=0.0, maximum=0.1),
+    ]
+    full = OptimizationProblem(mkcost(n_train), params)
+    x0 = full.initial_guess()
+    x, _, _ = adam_estimate(
+        OptimizationProblem(mkcost(100), params),
+        learning_rate=5e-3, iterations=150,
+    )
+    x, _, _ = adam_estimate(
+        OptimizationProblem(mkcost(200), params),
+        x0=x, learning_rate=2e-3, iterations=150,
+    )
+    x, cost_fit, _ = adam_estimate(
+        full, x0=x, learning_rate=1e-3, iterations=300
+    )
+    # measured at commit time: 25.18 -> 0.67
+    assert cost_fit < 0.1 * float(full.fitness(x0))
+
+    # held-out: 20-step windows over the unseen continuation (1.0-1.5 s)
+    K, fd_qd = 20, (target_all[2:] - target_all[:-2]) * 200.0
+    starts = jnp.arange(n_train, len(target_all) - K - 2, 10)
+
+    def window_mse(xp):
+        model = model_of(xp)
+        dt = unpack(xp)[3]
+
+        def run(s):
+            qs = jax.lax.dynamic_slice_in_dim(target_all, s + 1, K)
+            traj = _rollout(model, target_all[s], fd_qd[s - 1], dt, K)
+            return jnp.mean((traj - qs) ** 2)
+
+        return float(jnp.mean(jax.vmap(run)(starts)))
+
+    err_guess = window_mse(x0)
+    err_fit = window_mse(x)
+    # measured at commit time: 4.18e-2 -> 8.60e-3 (4.9x); gate at 2x so
+    # noise can't flake it but a grad-through-rollout regression fails
+    assert err_fit < 0.5 * err_guess, (err_guess, err_fit)
