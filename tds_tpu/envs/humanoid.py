@@ -8,9 +8,12 @@ from tds_tpu.urdf.cache import construct
 
 
 class HumanoidEnv(LocomotionEnv):
-    """Spherical-joint humanoid standing/walking task. Defaults follow the
-    reference humanoid env: kp=100, kd=10, max_force=1000, dt=1e-3; reward
-    = upright survival + forward progress; done when the torso falls."""
+    """Spherical-joint humanoid locomotion task. Defaults follow the
+    reference humanoid env (humanoid_environment.h:73-78): kp=50, kd=1.5,
+    max_force=50, dt=1e-3, start z=1.4; reward = torso x position while
+    upright (:155-196, no alive bonus — standing still earns ~0, so the
+    trainer is pushed toward forward progress); done when up.z < 0.6 or
+    torso z < 0.8 (:187)."""
 
     def __init__(
         self,
@@ -31,11 +34,11 @@ class HumanoidEnv(LocomotionEnv):
         )
         defaults = dict(
             initial_poses=(0.0,) * n_single,
-            kp=100.0,
-            kd=10.0,
-            max_force=1000.0,
+            kp=50.0,
+            kd=1.5,
+            max_force=50.0,
             dt=1e-3,
-            start_base_position=(0.0, 0.0, 1.5),
+            start_base_position=(0.0, 0.0, 1.4),
             skip_links=n_base_links,
         )
         defaults.update(kwargs)
@@ -43,6 +46,6 @@ class HumanoidEnv(LocomotionEnv):
 
     def reward_done(self, q_prev, qd_prev, q, qd):
         pos, up = self.base_pose_xyz_rpy(q)
-        done = jnp.logical_or(up < 0.5, pos[..., 2] < 0.8)
-        reward = jnp.where(done, 0.0, 1.0 + pos[..., 0])
+        done = jnp.logical_or(up < 0.6, pos[..., 2] < 0.8)
+        reward = jnp.where(done, 0.0, pos[..., 0])
         return reward, done
