@@ -210,6 +210,14 @@ def _mesh_vertices(file_name: str, scale) -> np.ndarray:
     return _mesh_data(file_name, scale)[0]
 
 
+def _mesh_edges(file_name: str, scale) -> np.ndarray:
+    """Unique undirected edges (E, 2) int32, a trace-time constant."""
+    _, tris = _mesh_data(file_name, scale)
+    e = np.concatenate([tris[:, [0, 1]], tris[:, [1, 2]], tris[:, [2, 0]]])
+    e = np.sort(e, axis=1)
+    return np.unique(e, axis=0).astype(np.int32)
+
+
 def _world_vertices(mesh: Mesh, xb: Transform):
     dtype = xb.pos.dtype
     verts = jnp.asarray(_mesh_vertices(mesh.file_name, mesh.scale), dtype)
@@ -514,69 +522,145 @@ def _triangle_normals(ta, tb, tc):
     return n / jnp.maximum(safe_norm(n, axis=-1), 1e-12)[..., None]
 
 
-def mesh_mesh(ma: Mesh, xa: Transform, mbb: Mesh, xb: Transform) -> Contact:
-    """Vertex-vs-surface mesh-mesh contact, both directions (the reference
-    has NO mesh narrowphase at all; this goes beyond it).
-
-    For each vertex of A: branchless closest point over B's triangles; the
-    penetration sign comes from the nearest triangle's outward normal
-    (exact for convex B, a good local test for well-formed closed meshes
-    with consistent CCW winding). Symmetrically for B's vertices against
-    A's triangles. Emits max_contacts candidates per direction; like every
-    pair function here, candidates always exist and activity is decided by
-    the distance mask downstream.
-
-    Known limit: a probe vertex lying exactly ON the other surface (e.g.
-    equal-size axis-aligned cubes whose side planes coincide) measures
-    distance 0 to the coincident face, which can mask a deeper penetration
-    through another face — vertex-sampled signed distance is local. Scale-
-    or pose-differentiated geometry (the generic case) behaves well."""
+def _probe_points_vs_mesh(p, mesh_surf: Mesh, xs: Transform, k: int):
+    """K deepest of the probe points ``p`` (…, P, 3) against a mesh
+    surface: branchless closest point over the triangles, penetration sign
+    from the nearest triangle's outward normal (exact for convex surfaces,
+    a good local test for well-formed closed meshes with consistent CCW
+    winding). Returns (probe point, surface point, outward normal, signed
+    distance), each top-k selected."""
     from tds_tpu.algebra.spatial import safe_norm
 
-    def directed(mesh_pts: Mesh, xp: Transform, mesh_surf: Mesh, xs: Transform):
-        k = int(max(mesh_pts.max_contacts, mesh_surf.max_contacts))
-        p = _world_vertices(mesh_pts, xp)  # (…, V, 3) probing vertices
-        verts, tris = _mesh_data(mesh_surf.file_name, mesh_surf.scale)
-        w = _world_vertices(mesh_surf, xs)
-        ta = jnp.take(w, jnp.asarray(tris[:, 0]), axis=-2)
-        tb = jnp.take(w, jnp.asarray(tris[:, 1]), axis=-2)
-        tc = jnp.take(w, jnp.asarray(tris[:, 2]), axis=-2)
-        nrm = _triangle_normals(ta, tb, tc)  # (…, T, 3)
-        # closest point of every triangle to every probe vertex
-        closest = _closest_point_on_triangles(
-            p[..., :, None, :], ta[..., None, :, :], tb[..., None, :, :],
-            tc[..., None, :, :],
-        )  # (…, V, T, 3)
-        diff = p[..., :, None, :] - closest
-        dist = safe_norm(diff, axis=-1)  # (…, V, T)
-        tmin = jnp.argmin(dist, axis=-1)  # (…, V) nearest triangle
-        d_near = jnp.take_along_axis(dist, tmin[..., None], axis=-1)[..., 0]
-        c_near = jnp.take_along_axis(
-            closest, tmin[..., None, None], axis=-2
-        )[..., 0, :]
-        nrm_b = jnp.broadcast_to(nrm[..., None, :, :], closest.shape)
-        n_near = jnp.take_along_axis(
-            nrm_b, tmin[..., None, None], axis=-2
-        )[..., 0, :]
-        side = jnp.sign(
-            jnp.sum((p - c_near) * n_near, axis=-1)
-        )
-        side = jnp.where(side == 0, 1.0, side)
-        signed = side * d_near  # negative = vertex inside B
-        neg_sd, idx = jax.lax.top_k(-signed, k)
-        distance = -neg_sd
-        point_s = jnp.take_along_axis(c_near, idx[..., None], axis=-2)
-        point_p = jnp.take_along_axis(p, idx[..., None], axis=-2)
-        normal = jnp.take_along_axis(n_near, idx[..., None], axis=-2)
-        return point_p, point_s, normal, distance
+    verts, tris = _mesh_data(mesh_surf.file_name, mesh_surf.scale)
+    w = _world_vertices(mesh_surf, xs)
+    ta = jnp.take(w, jnp.asarray(tris[:, 0]), axis=-2)
+    tb = jnp.take(w, jnp.asarray(tris[:, 1]), axis=-2)
+    tc = jnp.take(w, jnp.asarray(tris[:, 2]), axis=-2)
+    nrm = _triangle_normals(ta, tb, tc)  # (…, T, 3)
+    # closest point of every triangle to every probe point
+    closest = _closest_point_on_triangles(
+        p[..., :, None, :], ta[..., None, :, :], tb[..., None, :, :],
+        tc[..., None, :, :],
+    )  # (…, P, T, 3)
+    diff = p[..., :, None, :] - closest
+    dist = safe_norm(diff, axis=-1)  # (…, P, T)
+    tmin = jnp.argmin(dist, axis=-1)  # (…, P) nearest triangle
+    d_near = jnp.take_along_axis(dist, tmin[..., None], axis=-1)[..., 0]
+    c_near = jnp.take_along_axis(
+        closest, tmin[..., None, None], axis=-2
+    )[..., 0, :]
+    nrm_b = jnp.broadcast_to(nrm[..., None, :, :], closest.shape)
+    n_near = jnp.take_along_axis(
+        nrm_b, tmin[..., None, None], axis=-2
+    )[..., 0, :]
+    side = jnp.sign(jnp.sum((p - c_near) * n_near, axis=-1))
+    side = jnp.where(side == 0, 1.0, side)
+    signed = side * d_near  # negative = probe inside the surface
+    neg_sd, idx = jax.lax.top_k(-signed, k)
+    distance = -neg_sd
+    point_s = jnp.take_along_axis(c_near, idx[..., None], axis=-2)
+    point_p = jnp.take_along_axis(p, idx[..., None], axis=-2)
+    normal = jnp.take_along_axis(n_near, idx[..., None], axis=-2)
+    return point_p, point_s, normal, distance
+
+
+def _closest_point_segments(p1, q1, p2, q2, eps=1e-12):
+    """Branchless closest points between segments [p1,q1] and [p2,q2]
+    (Ericson, Real-Time Collision Detection 5.1.9, clamped form). All
+    inputs broadcast; returns (c1 on segment 1, c2 on segment 2)."""
+    d1 = q1 - p1
+    d2 = q2 - p2
+    r = p1 - p2
+    a = jnp.sum(d1 * d1, axis=-1)
+    e = jnp.sum(d2 * d2, axis=-1)
+    f = jnp.sum(d2 * r, axis=-1)
+    c = jnp.sum(d1 * r, axis=-1)
+    b = jnp.sum(d1 * d2, axis=-1)
+    denom = a * e - b * b
+    # parallel (denom ~ 0) -> any s works; pick s=0 then solve t
+    s = jnp.where(
+        denom > eps, jnp.clip((b * f - c * e) / jnp.maximum(denom, eps), 0.0, 1.0), 0.0
+    )
+    t = jnp.clip((b * s + f) / jnp.maximum(e, eps), 0.0, 1.0)
+    # re-solve s for the clamped t (keeps both points on their segments)
+    s = jnp.clip((b * t - c) / jnp.maximum(a, eps), 0.0, 1.0)
+    c1 = p1 + s[..., None] * d1
+    c2 = p2 + t[..., None] * d2
+    return c1, c2
+
+
+def _world_edge_endpoints(mesh: Mesh, x: Transform):
+    w = _world_vertices(mesh, x)
+    edges = jnp.asarray(_mesh_edges(mesh.file_name, mesh.scale))
+    return (
+        jnp.take(w, edges[:, 0], axis=-2),
+        jnp.take(w, edges[:, 1], axis=-2),
+    )  # each (…, E, 3)
+
+
+def mesh_mesh(ma: Mesh, xa: Transform, mbb: Mesh, xb: Transform) -> Contact:
+    """Mesh-mesh contact, both directions (the reference has NO mesh
+    narrowphase at all; this goes beyond it).
+
+    Vertex candidates: each vertex of A probes B's surface (closest point
+    over B's triangles, sign from the nearest triangle's outward normal),
+    and symmetrically; max_contacts deepest per direction are emitted.
+    Like every pair function here, candidates always exist and activity is
+    decided by the distance mask downstream.
+
+    Edge candidates (opt-in, ``edge_contacts`` on BOTH meshes): vertex
+    sampling misses crossing-edge contact (two cubes meeting edge-on-edge
+    have no vertex near the contact). For every edge pair the closest
+    point on A's edge to B's edge becomes an ADAPTIVE probe point into B's
+    surface — reducing edge-edge to the same signed-distance pipeline,
+    with depth measured to the nearest face (for a 45-degree edge-on-edge
+    cube stack: depth = dz/sqrt(2) against either adjacent face, the two
+    directions' candidates bracketing the true normal). O(E_a*E_b*T);
+    meant for small convex-ish meshes.
+
+    Known limit: a probe point lying exactly ON the other surface (e.g.
+    equal-size axis-aligned cubes whose side planes coincide) measures
+    distance 0 to the coincident face, which can mask a deeper penetration
+    through another face — probe-sampled signed distance is local. Scale-
+    or pose-differentiated geometry (the generic case) behaves well."""
+    k = int(max(ma.max_contacts, mbb.max_contacts))
 
     # A's vertices into B's surface: normal on b = B's outward normal
-    pa1, pb1, n1, d1 = directed(ma, xa, mbb, xb)
+    pa1, pb1, n1, d1 = _probe_points_vs_mesh(
+        _world_vertices(ma, xa), mbb, xb, k
+    )
     c1 = Contact(normal_on_b=n1, point_a=pa1, point_b=pb1, distance=d1)
     # B's vertices into A's surface: computed with roles swapped, flip back
-    pb2, pa2, n2, d2 = directed(mbb, xb, ma, xa)
+    pb2, pa2, n2, d2 = _probe_points_vs_mesh(
+        _world_vertices(mbb, xb), ma, xa, k
+    )
     c2 = Contact(normal_on_b=-n2, point_a=pa2, point_b=pb2, distance=d2)
-    return Contact.concatenate([c1, c2])
+    parts = [c1, c2]
+
+    k_e = int(min(ma.edge_contacts, mbb.edge_contacts))
+    if k_e > 0:
+        a0, a1 = _world_edge_endpoints(ma, xa)
+        b0, b1 = _world_edge_endpoints(mbb, xb)
+        # all-pairs closest points: (…, Ea, Eb, 3)
+        ca, cb = _closest_point_segments(
+            a0[..., :, None, :], a1[..., :, None, :],
+            b0[..., None, :, :], b1[..., None, :, :],
+        )
+        flat = ca.shape[:-3] + (-1, 3)
+        pe1, se1, ne1, de1 = _probe_points_vs_mesh(
+            ca.reshape(flat), mbb, xb, k_e
+        )
+        parts.append(
+            Contact(normal_on_b=ne1, point_a=pe1, point_b=se1, distance=de1)
+        )
+        pe2, se2, ne2, de2 = _probe_points_vs_mesh(
+            cb.reshape(flat), ma, xa, k_e
+        )
+        # probe points live on B here, surface points on A
+        parts.append(
+            Contact(normal_on_b=-ne2, point_a=se2, point_b=pe2, distance=de2)
+        )
+    return Contact.concatenate(parts)
 
 
 def flip(contact: Contact) -> Contact:

@@ -100,6 +100,13 @@ class Mesh:
     file_name: str = ""
     scale: Tuple[float, float, float] = (1.0, 1.0, 1.0)
     max_contacts: int = 0
+    # mesh-vs-mesh only: additionally emit this many edge-edge candidates
+    # per direction (closest points between edge pairs probed into the
+    # other surface). Vertex sampling alone misses crossing-edge contacts
+    # (two cubes meeting edge-on-edge); this opt-in closes that. Both
+    # meshes of a pair must set it (cost is O(E_a*E_b), meant for small
+    # convex-ish meshes — terrain-scale surfaces should use Heightfield).
+    edge_contacts: int = 0
 
     def local_inertia(self, mass: float):
         """Principal-diagonal inertia of the SOLID mesh scaled to ``mass``

@@ -497,3 +497,74 @@ def test_closest_point_on_triangle_property(cube_mesh):
         )
         d_bf = np.min(np.linalg.norm(pts - p[i], axis=-1))
         assert d_fast[i] <= d_bf + 1e-9, (i, d_fast[i], d_bf)
+
+
+# -- edge-edge candidates (opt-in via Mesh.edge_contacts) -------------------
+
+
+def _roty45(dtype=jnp.float64):
+    c = 1.0 / np.sqrt(2.0)
+    return jnp.asarray([[c, 0, c], [0, 1, 0], [-c, 0, c]], dtype)
+
+
+def _rotx45(dtype=jnp.float64):
+    c = 1.0 / np.sqrt(2.0)
+    return jnp.asarray([[1, 0, 0], [0, c, -c], [0, c, c]], dtype)
+
+
+def _edge_cross_setup(cube_mesh, delta, edge_contacts):
+    """Lower cube rotated 45 deg about y (top feature: an edge along y at
+    z=sqrt(2)/2); upper cube rotated 45 deg about x (bottom feature: an
+    edge along x), lowered by ``delta`` past touching. The edges CROSS at
+    (0,0): no vertex of either cube is near the contact."""
+    m = dataclasses.replace(
+        cube_mesh, max_contacts=4, edge_contacts=edge_contacts
+    )
+    xb = Transform(pos=jnp.zeros(3, jnp.float64), rot=_roty45())
+    za = np.sqrt(2.0) - delta
+    xa = Transform(pos=jnp.asarray([0.0, 0.0, za], jnp.float64), rot=_rotx45())
+    return narrowphase.compute_contacts(m, xa, m, xb)
+
+
+def test_mesh_mesh_vertex_sampling_misses_edge_cross(cube_mesh):
+    # the documented gap: with vertex candidates only, the crossing-edge
+    # penetration is invisible (every vertex is outside the other cube)
+    c = _edge_cross_setup(cube_mesh, delta=0.02, edge_contacts=0)
+    assert float(jnp.min(c.distance)) > 0.0
+
+
+def test_mesh_mesh_edge_candidates_catch_edge_cross(cube_mesh):
+    # analytic oracle: penetration delta along z measures delta/sqrt(2)
+    # against either adjacent 45-degree face, normal z-component 1/sqrt(2)
+    delta = 0.02
+    c = _edge_cross_setup(cube_mesh, delta=delta, edge_contacts=2)
+    d = np.asarray(c.distance)
+    i = int(np.argmin(d))
+    np.testing.assert_allclose(d[i], -delta / np.sqrt(2.0), atol=1e-9)
+    n = np.asarray(c.normal_on_b)[i]
+    # normal on the lower cube points UP toward the upper cube
+    np.testing.assert_allclose(n[2], 1.0 / np.sqrt(2.0), atol=1e-9)
+    # contact sits at the edge crossing, not at any cube vertex (the
+    # surface point is the probe projected onto the 45-degree face, which
+    # shifts x by delta/2)
+    p = np.asarray(c.point_b)[i]
+    assert abs(p[0]) <= delta and abs(p[1]) <= delta
+    assert np.allclose(p[2], np.sqrt(2.0) / 2.0, atol=delta)
+
+
+def test_mesh_mesh_edge_candidates_separated_gap(cube_mesh):
+    # separated by a small gap: the closest features are the two crossing
+    # edges themselves, exactly ``gap`` apart — and the probe measures
+    # exactly that (closest-point-on-triangle includes the edges)
+    gap = 0.03
+    c = _edge_cross_setup(cube_mesh, delta=-gap, edge_contacts=2)
+    d = float(jnp.min(c.distance))
+    np.testing.assert_allclose(d, gap, atol=1e-9)
+
+
+def test_mesh_mesh_edge_opt_in_shape(cube_mesh):
+    # contact count is static: 2*max_contacts (+ 2*edge_contacts when on)
+    base = _edge_cross_setup(cube_mesh, delta=0.02, edge_contacts=0)
+    assert base.count == 8
+    on = _edge_cross_setup(cube_mesh, delta=0.02, edge_contacts=3)
+    assert on.count == 8 + 6
