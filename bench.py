@@ -274,19 +274,153 @@ def main():
         best_rollout = min(best_rollout, time.time() - t0)
     rollout_steps_per_s = batch * scan_len / best_rollout
     print(
+        f"# scan-rollout: len={scan_len} best={best_rollout:.4f}s "
+        f"compile={compile_rollout_s:.1f}s",
+        file=sys.stderr,
+    )
+
+    # ---- performance ENVELOPE (VERDICT r3 #3): not one robot, one point --
+    # ant (more contacts/fewer dofs), humanoid (37 links, spherical base,
+    # the round-4 flagship), laikago on analytic-heightfield terrain with
+    # 9 egocentric height-scan rays, and end-to-end ARS iterations/s (the
+    # number a user training a policy actually feels). Each is a scan-fused
+    # rollout like the headline; failures degrade to an error field rather
+    # than killing the bench.
+    envelope = {}
+    if not os.environ.get("TDS_BENCH_NO_ENVELOPE"):
+        def measure_env(mk_env, label, ebatch, elen):
+            e = mk_env()
+            pol = linear_policy(e.observation_dim, e.action_dim)
+            pp = jnp.zeros((pol.num_parameters,), jnp.float32)
+
+            def roll(states, obs):
+                def body(carry, _):
+                    st, ob = carry
+                    a = jax.vmap(lambda o: pol.apply(pp, o))(ob)
+                    st, ob, _r, _d = jax.vmap(e.step)(st, a)
+                    return (st, ob), ()
+
+                (states, obs), _ = jax.lax.scan(
+                    body, (states, obs), None, length=elen, unroll=2
+                )
+                return states, obs
+
+            ks = jax.random.split(jax.random.PRNGKey(2), ebatch)
+            st0, ob0 = jax.jit(jax.vmap(e.reset))(ks)
+            jax.block_until_ready(ob0)
+            t0 = time.time()
+            rc = jax.jit(roll).lower(st0, ob0).compile()
+            csec = time.time() - t0
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.time()
+                _s, ob = rc(st0, ob0)
+                np.asarray(ob[0, 0])
+                best = min(best, time.time() - t0)
+            val = ebatch * elen / best
+            print(
+                f"# {label}: batch={ebatch} len={elen} best={best:.4f}s "
+                f"compile={csec:.1f}s",
+                file=sys.stderr,
+            )
+            return round(val, 1)
+
+        def mk_ant():
+            from tds_tpu.envs.ant import AntEnv
+
+            return AntEnv(dtype=jnp.float32)
+
+        def mk_humanoid():
+            from tds_tpu.envs.humanoid import HumanoidEnv
+
+            return HumanoidEnv(dtype=jnp.float32)
+
+        def mk_terrain():
+            import math
+
+            from tds_tpu.utils.terrain import make_heightfield
+
+            terrain = make_heightfield(
+                13, 7, (-1.0, 5.0), (-1.5, 1.5),
+                lambda x, y: 0.02 * math.sin(math.pi * x) * math.cos(math.pi * y),
+                max_contacts=3,
+            )
+            scan_pts = tuple(
+                (x, y) for x in (0.15, 0.35, 0.55) for y in (-0.15, 0.0, 0.15)
+            )
+            return LaikagoEnv(
+                dtype=jnp.float32, terrain=terrain, height_scan=scan_pts
+            )
+
+        # shapes derive from the main batch knob so a CPU smoke run
+        # (TDS_BENCH_BATCH=64) stays cheap; TPU defaults give ant/terrain
+        # 16384 x 500 and humanoid 4096 x 200
+        for name, mk, b, n in (
+            ("ant_scan_rollout_env_steps_per_s", mk_ant, batch, scan_len // 2),
+            ("humanoid_scan_rollout_env_steps_per_s", mk_humanoid,
+             max(batch // 4, 1), scan_len // 5),
+            ("laikago_terrain_scan_rollout_env_steps_per_s", mk_terrain,
+             batch, scan_len // 2),
+        ):
+            try:
+                envelope[name] = measure_env(mk, name, b, n)
+            except Exception as exc:  # keep the headline alive
+                envelope[name + "_error"] = str(exc)[:200]
+                print(f"# envelope {name} failed: {exc}", file=sys.stderr)
+
+        # end-to-end ARS iterations/s at the flagship recipe (128 dirs x
+        # top-32 x 3000-step rollouts on laikago = 768K env-steps/update)
+        try:
+            from tds_tpu.learn.ars import ARSConfig, init_ars, make_train_step
+
+            acfg = ARSConfig(
+                num_directions=int(os.environ.get("TDS_BENCH_ARS_DIRS", 128)),
+                rollout_length=int(os.environ.get("TDS_BENCH_ARS_LEN", 3000)),
+                top_directions=32,
+            )
+            astep = make_train_step(env, policy, acfg)
+            astate = init_ars(env, policy, jax.random.PRNGKey(3))
+            t0 = time.time()
+            astate, _m = astep(astate)
+            jax.block_until_ready(astate.params)
+            ars_compile_s = time.time() - t0
+            iters = 3
+            t0 = time.time()
+            for _ in range(iters):
+                astate, _m = astep(astate)
+            jax.block_until_ready(astate.params)
+            ars_s = (time.time() - t0) / iters
+            envelope["ars_laikago_iterations_per_s"] = round(1.0 / ars_s, 3)
+            envelope["ars_config"] = (
+                f"{acfg.num_directions}dirs x {acfg.rollout_length}steps"
+            )
+            envelope["ars_laikago_env_steps_per_s"] = round(
+                acfg.num_directions * 2 * acfg.rollout_length / ars_s, 1
+            )
+            print(
+                f"# ars-iteration: {ars_s:.3f}s/iter "
+                f"compile={ars_compile_s:.1f}s",
+                file=sys.stderr,
+            )
+        except Exception as exc:
+            envelope["ars_laikago_error"] = str(exc)[:200]
+            print(f"# envelope ars failed: {exc}", file=sys.stderr)
+
+        for k, v in envelope.items():
+            print(json.dumps({"metric": k, "value": v}))
+
+    # the driver parses the LAST stdout JSON line as the headline; the
+    # envelope rides along as a nested field so it lands in BENCH_r0N.json
+    print(
         json.dumps(
             {
                 "metric": "laikago_scan_rollout_env_steps_per_s",
                 "value": round(rollout_steps_per_s, 1),
                 "unit": "steps/s",
                 "vs_baseline": round(rollout_steps_per_s / 2.0e5, 3),
+                **({"envelope": envelope} if envelope else {}),
             }
         )
-    )
-    print(
-        f"# scan-rollout: len={scan_len} best={best_rollout:.4f}s "
-        f"compile={compile_rollout_s:.1f}s",
-        file=sys.stderr,
     )
 
 
