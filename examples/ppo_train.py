@@ -1,0 +1,147 @@
+#!/usr/bin/env python
+"""PPO training on the locomotion contact envs.
+
+Beyond the reference (its trainers are ARS-only,
+examples/ars/ars_train_policy.cpp): a first-class on-device PPO loop on
+the same contact environments. Rollout collection, GAE, and minibatch
+updates all jit into one program per iteration; on TPU one iteration at
+--num_envs 256 --unroll 128 is ~32K contact env steps.
+
+Run (TPU): PYTHONPATH=.:/root/.axon_site python examples/ppo_train.py \
+    --env ant --num_envs 256 --unroll 128 --iterations 1500
+"""
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass
+class Cfg:
+    env: str = "ant"  # ant | laikago | humanoid | hopper | halfcheetah
+    num_envs: int = 256
+    unroll: int = 128
+    num_minibatches: int = 8
+    num_epochs: int = 4
+    learning_rate: float = 3e-4
+    entropy_cost: float = 1e-3
+    init_log_std: float = -1.0
+    hidden: int = 64
+    iterations: int = 1500
+    eval_interval: int = 50
+    eval_length: int = 1000
+    checkpoint: str = ""
+    seed: int = 0
+
+
+def make_env(name: str, dtype):
+    from tds_tpu.envs.ant import AntEnv
+    from tds_tpu.envs.hopper import HalfCheetahEnv, HopperEnv
+    from tds_tpu.envs.humanoid import HumanoidEnv
+    from tds_tpu.envs.laikago import LaikagoEnv
+
+    envs = {
+        "laikago": LaikagoEnv,
+        "humanoid": HumanoidEnv,
+        "ant": AntEnv,
+        "hopper": HopperEnv,
+        "halfcheetah": HalfCheetahEnv,
+    }
+    if name not in envs:
+        raise SystemExit(f"--env must be one of {sorted(envs)}, got {name!r}")
+    return envs[name](dtype=dtype)
+
+
+def make_eval(env, nets, eval_length: int):
+    """Deterministic (mean-action) eval: total reward, steps alive, forward x."""
+
+    @functools.partial(jax.jit, static_argnums=())
+    def run(params, obs_stat, key):
+        def one(key):
+            st, obs = env.reset(key)
+
+            def body(carry, _):
+                st, obs, total, alive, steps, x = carry
+                obs_n = obs_stat.normalize(obs)
+                mean = nets.policy.apply(params["policy"], obs_n)
+                st, obs, r, d = env.step(st, env.action_transform(mean))
+                total = total + r * alive
+                steps = steps + alive
+                pos, _ = env.base_pose_xyz_rpy(st.q)
+                x = jnp.where(alive > 0, pos[0], x)
+                alive = alive * (1.0 - d.astype(obs.dtype))
+                return (st, obs, total, alive, steps, x), None
+
+            z = jnp.zeros((), jnp.float32)
+            (st, obs, total, alive, steps, x), _ = jax.lax.scan(
+                body, (st, obs, z, jnp.ones((), jnp.float32), z, z),
+                None, length=eval_length,
+            )
+            return total, steps, x
+
+        totals, steps, xs = jax.vmap(one)(jax.random.split(key, 8))
+        return {
+            "eval_reward_mean": totals.mean(),
+            "eval_reward_min": totals.min(),
+            "eval_steps_mean": steps.mean(),
+            "eval_x_mean": xs.mean(),
+        }
+
+    return run
+
+
+def main():
+    from tds_tpu.learn.ppo import PPOConfig, PPONetworks, make_ppo
+    from tds_tpu.utils.checkpoint import save_checkpoint
+    from tds_tpu.utils.experiment import Experiment
+
+    exp = Experiment("ppo", Cfg())
+    cfg = exp.parse_args()
+    exp.name = f"{cfg.env}_ppo"
+    if not cfg.checkpoint:
+        cfg.checkpoint = f"./logs/{cfg.env}_ppo/policy.pkl"
+    exp.start()
+
+    env = make_env(cfg.env, jnp.float32)
+    nets = PPONetworks(
+        env.observation_dim, env.action_dim, hidden=(cfg.hidden, cfg.hidden)
+    )
+    ppo_cfg = PPOConfig(
+        num_envs=cfg.num_envs,
+        unroll_length=cfg.unroll,
+        num_minibatches=cfg.num_minibatches,
+        num_epochs=cfg.num_epochs,
+        learning_rate=cfg.learning_rate,
+        entropy_cost=cfg.entropy_cost,
+        init_log_std=cfg.init_log_std,
+    )
+    init_fn, step_fn = make_ppo(env, nets, ppo_cfg)
+    eval_fn = make_eval(env, nets, cfg.eval_length)
+    state = init_fn(jax.random.PRNGKey(cfg.seed))
+
+    best = -jnp.inf
+    for it in range(cfg.iterations):
+        state, metrics = step_fn(state)
+        if (it + 1) % cfg.eval_interval == 0:
+            metrics.update(
+                eval_fn(state.params, state.obs_stat,
+                        jax.random.PRNGKey(1000 + it))
+            )
+            if float(metrics["eval_reward_mean"]) > float(best):
+                best = metrics["eval_reward_mean"]
+                save_checkpoint(
+                    cfg.checkpoint,
+                    {"params": state.params, "obs_stat": state.obs_stat,
+                     "hidden": cfg.hidden},
+                    metadata={"iteration": it + 1,
+                              "eval_reward_mean": float(best)},
+                )
+            exp.log_metrics(it, metrics)
+            print(it, {k: round(float(v), 3) for k, v in metrics.items()})
+    exp.finish()
+
+
+if __name__ == "__main__":
+    main()
