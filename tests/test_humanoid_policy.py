@@ -1,12 +1,13 @@
 """The committed humanoid ARS checkpoint must move FORWARD.
 
-logs/humanoid_ars/policy_r4.pkl is a linear policy trained with ARS V2-t
-(128 directions, top-32, 3000-step rollouts) on the spherical-joint
-humanoid env at the reference's spec — kp=50/kd=1.5/max_force=50, reward
-= torso x while upright (humanoid_environment.h:73-78,155-196; trainer
-analog examples/ars/ars_train_policy.cpp). At commit time it covers
-1.14-1.22 m forward at 0.74-1.01 m/s mean velocity before falling at
-1.1-1.5 s, on all 4 probed seeds.
+logs/humanoid_ars/policy_r4b.pkl is a linear policy trained with ARS V2-t
+(128 directions, top-32, 3000-step rollouts, 400 iters at delta_std 0.03
+then 700 more at 0.02) on the spherical-joint humanoid env at the
+reference's spec — kp=50/kd=1.5/max_force=50, reward = torso x while
+upright (humanoid_environment.h:73-78,155-196; trainer analog
+examples/ars/ars_train_policy.cpp). At commit time it covers 1.11-1.29 m
+forward at 0.67-1.03 m/s mean velocity before falling at 1.17-1.65 s, on
+all 4 probed seeds (rewards 489-648).
 
 This is a forward-displacement gate (VERDICT round-3 demand: walking,
 not standing): thresholds sit ~30% under the measured actuals so physics
@@ -23,7 +24,7 @@ import pytest
 
 CKPT = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-    "logs", "humanoid_ars", "policy_r4.pkl",
+    "logs", "humanoid_ars", "policy_r4b.pkl",
 )
 
 
@@ -71,14 +72,14 @@ def test_trained_humanoid_policy_walks_forward():
 
     for seed in (0, 7, 123, 42):
         total, steps, x = rollout(jax.random.PRNGKey(seed), 3000)
-        # measured at commit time: x 1.14-1.22 m, alive 1133-1542 steps,
-        # reward 403-515
+        # measured at commit time: x 1.11-1.29 m, alive 1170-1653 steps,
+        # reward 489-648
         assert float(x) > 0.8, (
             f"seed {seed}: only {float(x):.2f} m forward (measured >=1.14)"
         )
         assert float(steps) >= 800, (
             f"seed {seed}: fell after {float(steps):.0f} steps (measured >=1133)"
         )
-        assert float(total) > 280.0, (
-            f"seed {seed}: reward {float(total):.1f} (measured 403-515)"
+        assert float(total) > 340.0, (
+            f"seed {seed}: reward {float(total):.1f} (measured 489-648)"
         )
