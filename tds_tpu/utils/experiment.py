@@ -33,10 +33,16 @@ class Experiment:
         self.name = name
         self.config = config
         self.log_root = log_root
-        stamp = datetime.datetime.now().strftime("%Y%m%d_%H%M%S")
-        self.run_dir = os.path.join(log_root, name, stamp)
+        self._stamp = datetime.datetime.now().strftime("%Y%m%d_%H%M%S")
         self._metrics_file = None
         self._t0 = time.time()
+
+    @property
+    def run_dir(self):
+        # derived from the CURRENT name: callers may rename after
+        # construction but before start() (e.g. laikago_ars -> ant_ars
+        # once --env is parsed)
+        return os.path.join(self.log_root, self.name, self._stamp)
 
     # ---- CLI ----------------------------------------------------------
     def parse_args(self, argv=None):
