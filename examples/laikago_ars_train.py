@@ -129,8 +129,23 @@ def main():
         )
         print(f"resumed from {cfg.resume} (iteration {meta.get('iteration')})")
 
+    # Metrics stay ON DEVICE between evals: a float() readback per
+    # iteration forces a host sync that serializes dispatch (measured
+    # 1.6-1.9 s/iter wall vs the 0.47 s/iter the same train step benches
+    # at, bench.py ars-iteration) — buffering until the eval boundary lets
+    # XLA pipeline eval_interval train steps back-to-back.
+    buffered = []
+
+    def flush():
+        for j, m in buffered:
+            m = {k: float(v) for k, v in m.items()}
+            exp.log_metrics(j, m)
+            print(j, {k: round(v, 3) for k, v in m.items()})
+        buffered.clear()
+
     for it in range(cfg.iterations):
         state, metrics = step_fn(state)
+        buffered.append((it, metrics))
         if (it + 1) % cfg.eval_interval == 0:
             metrics.update(
                 eval_fn(state, jax.random.PRNGKey(1000 + 100000 * cfg.seed + it))
@@ -140,8 +155,8 @@ def main():
                 {"params": state.params, "obs_stat": state.obs_stat},
                 metadata={"iteration": it + 1},
             )
-        exp.log_metrics(it, metrics)
-        print(it, {k: round(float(v), 3) for k, v in metrics.items()})
+            flush()
+    flush()
     exp.finish()
 
 
