@@ -14,7 +14,6 @@ Run: PYTHONPATH=. python examples/laikago_terrain_eval.py \
 
 import dataclasses
 import json
-import math
 import os
 
 import jax
