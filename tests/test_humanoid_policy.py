@@ -1,18 +1,25 @@
 """The committed humanoid ARS checkpoint must move FORWARD.
 
-logs/humanoid_ars/policy_r4b.pkl is a linear policy trained with ARS V2-t
-(128 directions, top-32, 3000-step rollouts, 400 iters at delta_std 0.03
-then 700 more at 0.02) on the spherical-joint humanoid env at the
+logs/humanoid_ars/policy_curr2.pkl is a linear policy trained with ARS
+V2-t (128 directions, top-32) on the spherical-joint humanoid env at the
 reference's spec — kp=50/kd=1.5/max_force=50, reward = torso x while
 upright (humanoid_environment.h:73-78,155-196; trainer analog
-examples/ars/ars_train_policy.cpp). At commit time it covers 1.11-1.29 m
-forward at 0.67-1.03 m/s mean velocity before falling at 1.17-1.65 s, on
-all 4 probed seeds (rewards 489-648).
+examples/ars/ars_train_policy.cpp). Its lineage is a CURRICULUM, all
+on-chip: 1100 iters at 3000-step rollouts (policy_r4b), then 2000 cheap
+iters at the reference's own 400-step training-rollout length
+(ars_train_policy.cpp:379) which buys a faster gait, then ~600 iters of
+3000-step consolidation that fuses the speed with survival — eval reward
+549 (r4b) -> 1099+, a 2x jump the long-rollout regime alone plateaued
+under.
 
-This is a forward-displacement gate (VERDICT round-3 demand: walking,
-not standing): thresholds sit ~30% under the measured actuals so physics
-or PD regressions that destabilize the gait fail loudly, while ARS
-seed noise cannot flake it.
+At commit time on the 4 probed seeds: x 0.86-1.70 m forward (0.59-1.04
+m/s), falls at 1.46-1.75 s, rewards 847-1377 (policy_r4b, kept for
+history, measured x 1.11-1.29 / rewards 489-648).
+
+This is a forward-displacement gate (round-3 review demand: walking, not
+standing): thresholds sit ~20-30% under the measured actuals so physics
+or PD regressions that destabilize the gait fail loudly, while ARS seed
+noise cannot flake it.
 """
 
 import functools
@@ -24,7 +31,7 @@ import pytest
 
 CKPT = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-    "logs", "humanoid_ars", "policy_r4b.pkl",
+    "logs", "humanoid_ars", "policy_curr2.pkl",
 )
 
 
@@ -72,14 +79,14 @@ def test_trained_humanoid_policy_walks_forward():
 
     for seed in (0, 7, 123, 42):
         total, steps, x = rollout(jax.random.PRNGKey(seed), 3000)
-        # measured at commit time: x 1.11-1.29 m, alive 1170-1653 steps,
-        # reward 489-648
-        assert float(x) > 0.8, (
-            f"seed {seed}: only {float(x):.2f} m forward (measured >=1.14)"
+        # measured at commit time: x 0.86-1.70 m, alive 1456-1754 steps,
+        # reward 847-1377
+        assert float(x) > 0.65, (
+            f"seed {seed}: only {float(x):.2f} m forward (measured >=0.86)"
         )
-        assert float(steps) >= 800, (
-            f"seed {seed}: fell after {float(steps):.0f} steps (measured >=1133)"
+        assert float(steps) >= 1100, (
+            f"seed {seed}: fell after {float(steps):.0f} steps (measured >=1456)"
         )
-        assert float(total) > 340.0, (
-            f"seed {seed}: reward {float(total):.1f} (measured 489-648)"
+        assert float(total) > 600.0, (
+            f"seed {seed}: reward {float(total):.1f} (measured 847-1377)"
         )
