@@ -135,6 +135,14 @@ def main():
     # at, bench.py ars-iteration) — buffering until the eval boundary lets
     # XLA pipeline eval_interval train steps back-to-back.
     buffered = []
+    # Best-eval harvest (same rule the PPO trainer needed,
+    # tests/test_ppo_ant_policy.py): the latest checkpoint can regress
+    # late in a run; keep the best-eval policy alongside it so a long
+    # consolidation run never clobbers its own peak. Ranked by
+    # eval_reward_min (the fixed-seed regression gates assert per-seed
+    # floors, so the worst eval rollout is the binding statistic).
+    best_eval = -float("inf")
+    best_path = cfg.checkpoint + ".best"
 
     def flush():
         for j, m in buffered:
@@ -155,6 +163,14 @@ def main():
                 {"params": state.params, "obs_stat": state.obs_stat},
                 metadata={"iteration": it + 1},
             )
+            score = float(metrics["eval_reward_min"])
+            if score > best_eval:
+                best_eval = score
+                save_checkpoint(
+                    best_path,
+                    {"params": state.params, "obs_stat": state.obs_stat},
+                    metadata={"iteration": it + 1, "eval_reward_min": score},
+                )
             flush()
     flush()
     exp.finish()
