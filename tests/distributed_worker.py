@@ -41,19 +41,23 @@ def main():
 
 
 def run_ars_step(mesh):
-    """One sharded cartpole ARS step; returns the updated policy params
-    (gathered to host). Shared by the worker and the single-process oracle."""
+    """One sharded ARS step at REAL shape — the laikago contact env
+    (MLCP solve + collision every step) under a 500-step lax.scan — so the
+    cross-process jax.distributed path exercises the same scan x GSPMD
+    interplay the single-process dryrun does (round-4 review demand).
+    Returns the updated policy params (gathered to host). Shared by the
+    worker and the single-process oracle."""
     import jax
     import numpy as np
 
-    from tds_tpu.envs.cartpole import CartpoleEnv
+    from tds_tpu.envs.laikago import LaikagoEnv
     from tds_tpu.learn.ars import ARSConfig, init_ars, make_train_step
     from tds_tpu.learn.nn import linear_policy
 
-    env = CartpoleEnv()
+    env = LaikagoEnv()
     policy = linear_policy(env.observation_dim, env.action_dim)
     config = ARSConfig(
-        num_directions=4, rollout_length=5, delta_std=0.1, step_size=0.1
+        num_directions=4, rollout_length=500, delta_std=0.03, step_size=0.02
     )
     step_fn = make_train_step(env, policy, config, mesh=mesh)
     state = init_ars(env, policy, jax.random.PRNGKey(0))
