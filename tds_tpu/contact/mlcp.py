@@ -51,6 +51,17 @@ class ContactSolverParams(NamedTuple):
     # "pallas" (lane-major Mosaic kernel, contact/pallas_pgs.py). Pallas
     # requires a leading batch axis on the contact state.
     pgs_impl: str = "xla"
+    # Candidate compaction: keep only the top_k deepest candidates per
+    # contact batch before Delassus assembly + PGS (0 = keep all). A
+    # statically-shaped take_along_axis gather (scatter-free); selected
+    # indices are re-sorted to candidate order, so whenever <= top_k
+    # candidates actually penetrate the compacted system solves the SAME
+    # active rows in the SAME PGS sweep order — identical impulses. Only
+    # when more than top_k candidates penetrate at once are the shallowest
+    # dropped. This is the many-candidate throughput lever: the ant's 17
+    # plane candidates cost a 51-row MLCP, of which at most ~8 are ever
+    # active in a walking gait (measured; see PROGRESS.md round 5).
+    top_k: int = 0
 
 
 def plane_space(n):
@@ -237,6 +248,51 @@ def resolve_collision(
     fr1_b = [-jnp.sum(fr1s[i] * rel_vels[i], axis=-1) for i in range(n_c)]
     fr2_b = [-jnp.sum(fr2s[i] * rel_vels[i], axis=-1) for i in range(n_c)]
 
+    # --- top-k candidate compaction (see ContactSolverParams.top_k) -----
+    # Everything row-shaped downstream (J rows, Delassus, PGS) scales with
+    # n_rows = dpc*n_c, so shrinking the candidate set here cuts the
+    # dominant O(n_rows^2) terms quadratically. Indices are SORTED back to
+    # candidate order after top_k so the PGS sweep visits surviving rows in
+    # the original order — bit-compatible with the full system whenever all
+    # penetrating candidates survive the cut.
+    fric_full = (
+        batch.friction
+        if batch.friction.ndim
+        else jnp.full((n_c,), batch.friction, dtype=dtype)
+    )
+    if 0 < params.top_k < n_c:
+        k = params.top_k
+        # deepest first: most-negative distance = largest -distance
+        _, idx = jax.lax.top_k(-cp.distance, k)  # (…, k)
+        idx = jnp.sort(idx, axis=-1)
+
+        def take_vec(xs):  # list of (…,) -> k-list of (…,)
+            st = jnp.stack(xs, axis=-1)
+            g = jnp.take_along_axis(st, idx, axis=-1)
+            return [g[..., i] for i in range(k)]
+
+        def take_dir(xs):  # list of (…, 3) -> k-list of (…, 3)
+            st = jnp.stack(xs, axis=-2)
+            g = jnp.take_along_axis(st, idx[..., None], axis=-2)
+            return [g[..., i, :] for i in range(k)]
+
+        def take_jac(xs):  # list of (…, 3, n) -> k-list of (…, 3, n)
+            if xs[0] is None:
+                return [None] * k
+            st = jnp.stack(xs, axis=-3)
+            g = jnp.take_along_axis(st, idx[..., None, None], axis=-3)
+            return [g[..., i, :, :] for i in range(k)]
+
+        normals, fr1s, fr2s = take_dir(normals), take_dir(fr1s), take_dir(fr2s)
+        b_vec, fr1_b, fr2_b = take_vec(b_vec), take_vec(fr1_b), take_vec(fr2_b)
+        jacs_a_n, jacs_b_n = take_jac(jacs_a_n), take_jac(jacs_b_n)
+        if fric_full.ndim == 1:  # (n_c,) static per-candidate friction
+            fric_full = jnp.take(fric_full, idx)  # (…, k)
+        else:
+            fric_full = jnp.take_along_axis(fric_full, idx, axis=-1)
+        n_c = k
+        n_rows = dpc * n_c
+
     def proj(jacs, direction):
         """J^T d per candidate -> constraint row (…, n)."""
         return [sm.mtv(jacs[i], direction[i]) for i in range(n_c)]
@@ -272,7 +328,7 @@ def resolve_collision(
     a_mat = a_mat + params.cfm * jnp.eye(n_rows, dtype=dtype)
 
     big = 1e5
-    fric = batch.friction if batch.friction.ndim else jnp.full((n_c,), batch.friction)
+    fric = fric_full
     lo = jnp.concatenate(
         [jnp.zeros(bshape + (n_c,), dtype=dtype)]
         + [-jnp.broadcast_to(fric, bshape + (n_c,))] * params.num_friction_dir,

@@ -29,6 +29,14 @@ class LaikagoEnv(LocomotionEnv):
             dt=1e-3,
             start_base_position=(0.0, 0.0, 0.48),
         )
+        if kwargs.get("terrain") is not None and "solver" not in kwargs:
+            # terrain multiplies candidates (4 toes x max_contacts cells vs
+            # 4 on the flat plane) but at most ~2 cells per toe can
+            # penetrate at once: compact to the 8 deepest (float-identical
+            # on driven rollouts, max |dq| 6e-7 over 300 steps, round 5)
+            from tds_tpu.contact.mlcp import ContactSolverParams
+
+            defaults["solver"] = ContactSolverParams(top_k=8)
         defaults.update(kwargs)
         super().__init__(model, geoms, **defaults)
 
