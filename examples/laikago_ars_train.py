@@ -33,6 +33,10 @@ class Cfg:
     # (a forward-looking 3xN/3 grid; see make_terrain_env below).
     terrain_bump: float = 0.0
     terrain_scan: int = 0
+    # humanoid-only: anti-crouch shaping + height_bonus*(z-1.0) per step
+    # during TRAINING (eval gates stay on the reference reward); round-5
+    # diagnosis: long-horizon gaits die by sinking through z<0.8
+    height_bonus: float = 0.0
 
 
 # 9-point forward-looking grid in the body frame: 3 rows ahead of the base
@@ -60,7 +64,7 @@ def make_terrain_env(bump: float, scan_points: int, dtype):
     return LaikagoEnv(dtype=dtype, terrain=terrain, height_scan=scan)
 
 
-def make_env(name: str, dtype):
+def make_env(name: str, dtype, height_bonus: float = 0.0):
     from tds_tpu.envs.ant import AntEnv
     from tds_tpu.envs.hopper import HalfCheetahEnv, HopperEnv
     from tds_tpu.envs.humanoid import HumanoidEnv
@@ -75,6 +79,8 @@ def make_env(name: str, dtype):
     }
     if name not in envs:
         raise SystemExit(f"--env must be one of {sorted(envs)}, got {name!r}")
+    if name == "humanoid" and height_bonus:
+        return HumanoidEnv(dtype=dtype, height_bonus=height_bonus)
     return envs[name](dtype=dtype)
 
 
@@ -102,7 +108,7 @@ def main():
             f"{cfg.terrain_scan} height-scan observations"
         )
     else:
-        env = make_env(cfg.env, jnp.float32)
+        env = make_env(cfg.env, jnp.float32, height_bonus=cfg.height_bonus)
     policy = linear_policy(env.observation_dim, env.action_dim)
     ars_cfg = ARSConfig(
         num_directions=cfg.num_directions,
@@ -143,6 +149,19 @@ def main():
     # floors, so the worst eval rollout is the binding statistic).
     best_eval = -float("inf")
     best_path = cfg.checkpoint + ".best"
+    # Crash-resume must not clobber a prior peak: if a .best file already
+    # exists (same checkpoint path), seed the bar from its metadata so the
+    # resumed run's first eval only overwrites it by actually beating it.
+    import os
+
+    if os.path.exists(best_path):
+        from tds_tpu.utils.checkpoint import load_checkpoint
+
+        _, prev_meta = load_checkpoint(best_path)
+        prev = prev_meta.get("eval_reward_min")
+        if prev is not None:
+            best_eval = float(prev)
+            print(f"existing {best_path}: eval_reward_min={best_eval:.3f}")
 
     def flush():
         for j, m in buffered:

@@ -3,6 +3,7 @@
 
 import jax.numpy as jnp
 
+from tds_tpu.contact.mlcp import ContactSolverParams
 from tds_tpu.envs.locomotion import LocomotionEnv
 from tds_tpu.urdf.cache import construct
 
@@ -20,8 +21,18 @@ class HumanoidEnv(LocomotionEnv):
         urdf: str = "humanoid_xyz_spherical.urdf",
         is_floating: bool = False,
         dtype=None,
+        height_bonus: float = 0.0,
         **kwargs,
     ):
+        # Training-shaping knob (beyond reference, default OFF = reference
+        # reward): + height_bonus * (torso_z - 1.0) per upright step.
+        # Diagnosed round 5: long-horizon gaits terminate by slowly
+        # SINKING through the z<0.8 floor (up-vector still fine at the
+        # fall, z hits the threshold at ~1500 steps on every probed seed)
+        # — the x-position reward never penalizes a progressive crouch.
+        # Policies trained with shaping are always EVALUATED and gated on
+        # the unshaped reference reward.
+        self.height_bonus = float(height_bonus)
         model, geoms = construct(urdf, is_floating=is_floating, dtype=dtype)
         # the xyz_spherical base uses 3 prismatic + 1 spherical link
         n_base_links = 0 if is_floating else (4 if "spherical" in urdf else 6)
@@ -40,6 +51,13 @@ class HumanoidEnv(LocomotionEnv):
             dt=1e-3,
             start_base_position=(0.0, 0.0, 1.4),
             skip_links=n_base_links,
+            # 19 collision geoms (16 capsules x 2 probes + 3 spheres) give
+            # 35 plane candidates = a 105-row MLCP, of which a walking gait
+            # penetrates at most a handful (feet + occasional knee). The
+            # 8-deepest compaction is float-identical on driven rollouts
+            # (max |dq| 5.6e-6 over 300 steps, round-5 probe) and cuts the
+            # Delassus/PGS terms ~(105/24)^2 = 19x.
+            solver=ContactSolverParams(top_k=8),
         )
         defaults.update(kwargs)
         super().__init__(model, geoms, **defaults)
@@ -47,5 +65,8 @@ class HumanoidEnv(LocomotionEnv):
     def reward_done(self, q_prev, qd_prev, q, qd):
         pos, up = self.base_pose_xyz_rpy(q)
         done = jnp.logical_or(up < 0.6, pos[..., 2] < 0.8)
-        reward = jnp.where(done, 0.0, pos[..., 0])
+        reward = pos[..., 0]
+        if self.height_bonus:
+            reward = reward + self.height_bonus * (pos[..., 2] - 1.0)
+        reward = jnp.where(done, 0.0, reward)
         return reward, done
