@@ -178,3 +178,25 @@ def test_ibm_sys_id_reduces_heldout_error():
     # measured at commit time: 4.18e-2 -> 8.60e-3 (4.9x); gate at 2x so
     # noise can't flake it but a grad-through-rollout regression fails
     assert err_fit < 0.5 * err_guess, (err_guess, err_fit)
+
+
+def test_schmidt_lipson_sys_id_reduces_heldout_error():
+    """The SECOND bundled real dataset, fit end-to-end (VERDICT r4 #4):
+    convention screening must select absolute/zero-down angles, and the
+    fitted model (masses + inertias + lengths + viscous & dry friction)
+    must predict (a) the held-out trial-0 continuation and (b) the
+    entirely unseen trial 1 far better than the initial guess. Thresholds
+    sit well under the measured 36x/15x so optimizer noise cannot flake
+    the gate; the full-iteration study lives in
+    examples/schmidt_lipson_sys_id.py (reduced iterations converge to the
+    same optimum, measured identical to 4 digits)."""
+    from examples.schmidt_lipson_sys_id import fit
+
+    out = fit(quiet=True, screen_iters=60, fit_iters=300, neural_iters=50)
+    assert out["conv"] == "abs-down"
+    # accel fit explains >90% of measured acceleration variance
+    assert out["accel_mse"] < out["accel_mse0"] / 10
+    # held-out continuation: measured 36x, gate 15x
+    assert out["holdout_fit"] < out["holdout_guess"] / 15
+    # unseen-trial transfer: measured 15x, gate 6x
+    assert out["trial1_fit"] < out["trial1_guess"] / 6
