@@ -318,12 +318,38 @@ def main():
                 np.asarray(ob[0, 0])
                 best = min(best, time.time() - t0)
             val = ebatch * elen / best
+            # roofline fields for EVERY envelope robot (VERDICT r4 #7), same
+            # XLA cost model + spec-sheet peaks as the headline; the compiled
+            # object covers elen scanned steps, so normalize by batch*len
+            roof = {}
+            try:
+                ca = rc.cost_analysis()
+                if isinstance(ca, (list, tuple)):
+                    ca = ca[0]
+                fl = float(ca.get("flops", 0.0)) / (ebatch * elen)
+                by = float(ca.get("bytes accessed", 0.0)) / (ebatch * elen)
+                if fl:
+                    roof = {
+                        "flops_per_step": round(fl, 1),
+                        "bytes_per_step_logical": round(by, 1),
+                        "achieved_tflops": round(fl * val / 1e12, 3),
+                        "hbm_gbs_logical": round(by * val / 1e9, 1),
+                        "pct_hbm_spec_peak": round(
+                            100.0 * by * val / 1e9 / HBM_PEAK_GBS, 1
+                        ),
+                        "pct_mxu_peak": round(
+                            100.0 * fl * val / 1e12 / MXU_PEAK_TFLOPS, 2
+                        ),
+                    }
+            except Exception as exc:
+                print(f"# {label} cost_analysis unavailable: {exc}",
+                      file=sys.stderr)
             print(
                 f"# {label}: batch={ebatch} len={elen} best={best:.4f}s "
                 f"compile={csec:.1f}s",
                 file=sys.stderr,
             )
-            return round(val, 1)
+            return round(val, 1), roof
 
         def mk_ant():
             from tds_tpu.envs.ant import AntEnv
@@ -353,8 +379,9 @@ def main():
             )
 
         # shapes derive from the main batch knob so a CPU smoke run
-        # (TDS_BENCH_BATCH=64) stays cheap; TPU defaults give ant/terrain
-        # 16384 x 500 and humanoid 4096 x 200
+        # (TDS_BENCH_BATCH=64) stays cheap; per-robot best batches are
+        # established by tools/batch_sweep.py on the real chip (the 16384
+        # plateau was only ever measured for laikago)
         for name, mk, b, n in (
             ("ant_scan_rollout_env_steps_per_s", mk_ant, batch, scan_len // 2),
             ("humanoid_scan_rollout_env_steps_per_s", mk_humanoid,
@@ -363,7 +390,9 @@ def main():
              batch, scan_len // 2),
         ):
             try:
-                envelope[name] = measure_env(mk, name, b, n)
+                envelope[name], roof = measure_env(mk, name, b, n)
+                for k, v in roof.items():
+                    envelope[f"{name}.{k}"] = v
             except Exception as exc:  # keep the headline alive
                 envelope[name + "_error"] = str(exc)[:200]
                 print(f"# envelope {name} failed: {exc}", file=sys.stderr)
