@@ -30,6 +30,9 @@ class Cfg:
     init_log_std: float = -1.0
     hidden: int = 64
     iterations: int = 1500
+    # linear lr anneal to 0 over the run (0 = constant lr); stabilizes the
+    # deterministic mean late in training (see PPOConfig.lr_anneal_iterations)
+    lr_anneal: int = 0
     eval_interval: int = 50
     eval_length: int = 1000
     checkpoint: str = ""
@@ -116,6 +119,7 @@ def main():
         learning_rate=cfg.learning_rate,
         entropy_cost=cfg.entropy_cost,
         init_log_std=cfg.init_log_std,
+        lr_anneal_iterations=cfg.lr_anneal,
     )
     init_fn, step_fn = make_ppo(env, nets, ppo_cfg)
     eval_fn = make_eval(env, nets, cfg.eval_length)

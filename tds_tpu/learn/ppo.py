@@ -32,6 +32,12 @@ class PPOConfig(NamedTuple):
     value_cost: float = 0.5
     max_grad_norm: float = 0.5
     init_log_std: float = -0.5
+    # Linear lr anneal over this many training iterations (0 = constant).
+    # Round-4 finding (tests/test_ppo_ant_policy.py): with constant lr the
+    # deterministic mean policy collapses late in training while the
+    # stochastic return keeps climbing; annealing to ~0 freezes the policy
+    # into its converged basin instead of walking out of it.
+    lr_anneal_iterations: int = 0
 
 
 class PPONetworks:
@@ -94,9 +100,20 @@ class Transition(NamedTuple):
 
 def make_ppo(env, networks: PPONetworks, config: PPOConfig):
     """Returns (init_fn(key) -> PPOState, step_fn(state) -> (state, metrics))."""
+    if config.lr_anneal_iterations:
+        lr = optax.linear_schedule(
+            config.learning_rate,
+            0.0,
+            # adam sees num_epochs*num_minibatches updates per iteration
+            config.lr_anneal_iterations
+            * config.num_epochs
+            * config.num_minibatches,
+        )
+    else:
+        lr = config.learning_rate
     optimizer = optax.chain(
         optax.clip_by_global_norm(config.max_grad_norm),
-        optax.adam(config.learning_rate),
+        optax.adam(lr),
     )
     v_reset = jax.vmap(env.reset)
     v_step = jax.vmap(env.step)
