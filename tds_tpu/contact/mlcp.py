@@ -62,6 +62,13 @@ class ContactSolverParams(NamedTuple):
     # plane candidates cost a 51-row MLCP, of which at most ~8 are ever
     # active in a walking gait (measured; see PROGRESS.md round 5).
     top_k: int = 0
+    # Delassus (J M^-1 J^T) contraction precision: "f32" (default) or
+    # "bf16" — cast the J / M^-1 J^T row blocks to bfloat16 for the
+    # contraction with f32 accumulation (preferred_element_type), the MXU's
+    # native mode. Impulse magnitudes see ~3 decimal digits of A-matrix
+    # precision; PGS itself stays f32. A measured-accuracy/throughput
+    # trade knob (VERDICT r4 #2c).
+    delassus_dtype: str = "f32"
 
 
 def plane_space(n):
@@ -313,6 +320,13 @@ def resolve_collision(
     # many contacts stack up. Above the threshold this is one large
     # contraction, exactly what dot_general/the MXU is for.
     def _delassus(j, jminv):
+        if params.delassus_dtype == "bf16":
+            return jnp.einsum(
+                "...ik,...jk->...ij",
+                j.astype(jnp.bfloat16),
+                jminv.astype(jnp.bfloat16),
+                preferred_element_type=dtype,
+            )
         if n_rows > 16:
             return jnp.einsum("...ik,...jk->...ij", j, jminv)
         return sm.mmt(j, jminv)
