@@ -272,31 +272,36 @@ def resolve_collision(
         # deepest first: most-negative distance = largest -distance
         _, idx = jax.lax.top_k(-cp.distance, k)  # (…, k)
         idx = jnp.sort(idx, axis=-1)
+        # selection as a one-hot contraction, NOT take_along_axis: gather
+        # does not lower in the plugin's Mosaic (tests/test_pallas_compat)
+        # and is slow on TPU regardless; a (k, n_c) 0/1 matmul is exact in
+        # f32 and rides the VPU/MXU
+        onehot = (idx[..., :, None] == jnp.arange(n_c)).astype(dtype)
 
         def take_vec(xs):  # list of (…,) -> k-list of (…,)
             st = jnp.stack(xs, axis=-1)
-            g = jnp.take_along_axis(st, idx, axis=-1)
+            g = jnp.einsum("...kc,...c->...k", onehot, st)
             return [g[..., i] for i in range(k)]
 
         def take_dir(xs):  # list of (…, 3) -> k-list of (…, 3)
             st = jnp.stack(xs, axis=-2)
-            g = jnp.take_along_axis(st, idx[..., None], axis=-2)
+            g = jnp.einsum("...kc,...cd->...kd", onehot, st)
             return [g[..., i, :] for i in range(k)]
 
         def take_jac(xs):  # list of (…, 3, n) -> k-list of (…, 3, n)
             if xs[0] is None:
                 return [None] * k
             st = jnp.stack(xs, axis=-3)
-            g = jnp.take_along_axis(st, idx[..., None, None], axis=-3)
+            g = jnp.einsum("...kc,...cdn->...kdn", onehot, st)
             return [g[..., i, :, :] for i in range(k)]
 
         normals, fr1s, fr2s = take_dir(normals), take_dir(fr1s), take_dir(fr2s)
         b_vec, fr1_b, fr2_b = take_vec(b_vec), take_vec(fr1_b), take_vec(fr2_b)
         jacs_a_n, jacs_b_n = take_jac(jacs_a_n), take_jac(jacs_b_n)
         if fric_full.ndim == 1:  # (n_c,) static per-candidate friction
-            fric_full = jnp.take(fric_full, idx)  # (…, k)
+            fric_full = jnp.einsum("...kc,c->...k", onehot, fric_full)
         else:
-            fric_full = jnp.take_along_axis(fric_full, idx, axis=-1)
+            fric_full = jnp.einsum("...kc,...c->...k", onehot, fric_full)
         n_c = k
         n_rows = dpc * n_c
 
