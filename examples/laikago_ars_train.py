@@ -37,6 +37,11 @@ class Cfg:
     # during TRAINING (eval gates stay on the reference reward); round-5
     # diagnosis: long-horizon gaits die by sinking through z<0.8
     height_bonus: float = 0.0
+    # brink-state curriculum: .npz from tools/make_reset_pool.py; training
+    # rollouts then reset from the policy's own near-failure states with
+    # this probability (eval rollouts always use the standing start)
+    reset_pool: str = ""
+    reset_pool_prob: float = 0.5
 
 
 # 9-point forward-looking grid in the body frame: 3 rows ahead of the base
@@ -109,6 +114,22 @@ def main():
         )
     else:
         env = make_env(cfg.env, jnp.float32, height_bonus=cfg.height_bonus)
+    eval_env = env
+    if cfg.reset_pool:
+        import numpy as np
+
+        if cfg.env != "humanoid":
+            raise SystemExit("--reset_pool is humanoid-only for now")
+        pool = np.load(cfg.reset_pool)
+        from tds_tpu.envs.humanoid import HumanoidEnv
+
+        env = HumanoidEnv(
+            dtype=jnp.float32, height_bonus=cfg.height_bonus,
+            reset_pool=(pool["q"], pool["qd"]),
+            reset_pool_prob=cfg.reset_pool_prob,
+        )
+        print(f"reset pool: {pool['q'].shape[0]} brink states "
+              f"(p={cfg.reset_pool_prob})")
     policy = linear_policy(env.observation_dim, env.action_dim)
     ars_cfg = ARSConfig(
         num_directions=cfg.num_directions,
@@ -120,7 +141,7 @@ def main():
     )
     mesh = make_mesh() if len(jax.devices()) > 1 else None
     step_fn = make_train_step(env, policy, ars_cfg, mesh=mesh)
-    eval_fn = make_eval(env, policy, ars_cfg, num_rollouts=8)
+    eval_fn = make_eval(eval_env, policy, ars_cfg, num_rollouts=8)
     state = init_ars(env, policy, jax.random.PRNGKey(cfg.seed))
     if cfg.resume:
         from tds_tpu.learn.running_stat import RunningStat

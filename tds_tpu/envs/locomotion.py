@@ -44,6 +44,8 @@ class LocomotionEnv(Env):
         skip_links: Optional[int] = None,
         terrain=None,
         height_scan: Optional[Sequence[Tuple[float, float]]] = None,
+        reset_pool=None,
+        reset_pool_prob: float = 0.5,
     ):
         self.model = model
         self.dt = dt
@@ -91,6 +93,25 @@ class LocomotionEnv(Env):
             self.height_scan = jnp.asarray(height_scan)
             self.terrain = terrain
             self.observation_dim += len(height_scan)
+        # Brink-state reset pool (beyond reference, training-only): with
+        # probability reset_pool_prob, reset() returns a state drawn from
+        # this (P, dof_q)/(P, dof_qd) pool instead of the standing start —
+        # typically states harvested near a trained gait's own failure
+        # point (tools/make_reset_pool.py), so a trainer spends its
+        # rollouts exactly where the policy dies rather than re-walking
+        # there. The base x coordinate is re-zeroed on pool resets (pure
+        # translation, physics-invariant) to keep position-based rewards
+        # comparable. Eval envs must NOT set this.
+        self.reset_pool = None
+        self.reset_pool_prob = float(reset_pool_prob)
+        if reset_pool is not None:
+            pq, pqd = reset_pool
+            dt_ = model.x_t_pos.dtype
+            self.reset_pool = (
+                jnp.asarray(pq, dt_), jnp.asarray(pqd, dt_)
+            )
+            assert self.reset_pool[0].shape[-1] == model.dof_q
+            assert self.reset_pool[1].shape[-1] == model.dof_qd
 
     # -- dynamics ----------------------------------------------------------
     def sim_step(self, q, qd, action):
@@ -230,6 +251,16 @@ class LocomotionEnv(Env):
             return self.sim_step(q, qd, zero_action), None
 
         (q, qd), _ = jax.lax.scan(body, (q, qd), None, length=self.settle_steps)
+        if self.reset_pool is not None:
+            pq, pqd = self.reset_pool
+            key, k_use, k_idx = jax.random.split(key, 3)
+            use = jax.random.bernoulli(k_use, self.reset_pool_prob)
+            idx = jax.random.randint(k_idx, (), 0, pq.shape[0])
+            qp, qdp = pq[idx], pqd[idx]
+            x_i = 4 if self.model.is_floating else 0
+            qp = qp.at[..., x_i].set(0.0)  # translate back to the origin
+            q = jnp.where(use, qp, q)
+            qd = jnp.where(use, qdp, qd)
         state = EnvState(q=q, qd=qd, t=jnp.zeros((), jnp.int32), key=key)
         return state, self.observation(q, qd)
 
