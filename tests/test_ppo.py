@@ -39,3 +39,31 @@ def test_ppo_improves_cartpole():
         state, metrics = step_fn(state)
     after = _eval_deterministic(env, nets, state)
     assert after > before + 50, (before, after)
+
+
+def test_ppo_lr_anneal_runs_and_freezes_late_policy():
+    """lr_anneal_iterations (round 5): the linear schedule must count
+    num_epochs*num_minibatches optimizer updates per training iteration,
+    reach ~0 by the end, and leave the policy essentially frozen over the
+    final iterations (the mechanism that stops the late deterministic-mean
+    collapse the ant PPO run documented)."""
+    env = CartpoleEnv()
+    nets = PPONetworks(env.observation_dim, env.action_dim, hidden=(16, 16))
+    cfg = PPOConfig(
+        num_envs=8, unroll_length=32, learning_rate=1e-3,
+        lr_anneal_iterations=10,
+    )
+    init_fn, step_fn = make_ppo(env, nets, cfg)
+    state = init_fn(jax.random.PRNGKey(0))
+    for _ in range(9):
+        state, _ = step_fn(state)
+    before = state.params["policy"]
+    state, _ = step_fn(state)  # lr has annealed to ~0 here
+    after = state.params["policy"]
+    delta = max(
+        float(jnp.max(jnp.abs(a - b)))
+        for a, b in zip(jax.tree_util.tree_leaves(after),
+                        jax.tree_util.tree_leaves(before))
+    )
+    # early iterations move params orders of magnitude more than this
+    assert delta < 1e-4, delta
