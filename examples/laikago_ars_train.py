@@ -37,6 +37,11 @@ class Cfg:
     # during TRAINING (eval gates stay on the reference reward); round-5
     # diagnosis: long-horizon gaits die by sinking through z<0.8
     height_bonus: float = 0.0
+    # humanoid-only penalty-ONLY shaping: - crouch_penalty * max(crouch_ref
+    # - z, 0) per step. Unlike height_bonus it never rewards standing tall,
+    # so it can be strong enough to rival the late-episode x reward.
+    crouch_penalty: float = 0.0
+    crouch_ref: float = 1.2
     # brink-state curriculum: .npz from tools/make_reset_pool.py; training
     # rollouts then reset from the policy's own near-failure states with
     # this probability (eval rollouts always use the standing start)
@@ -69,7 +74,8 @@ def make_terrain_env(bump: float, scan_points: int, dtype):
     return LaikagoEnv(dtype=dtype, terrain=terrain, height_scan=scan)
 
 
-def make_env(name: str, dtype, height_bonus: float = 0.0):
+def make_env(name: str, dtype, height_bonus: float = 0.0,
+             crouch_penalty: float = 0.0, crouch_ref: float = 1.2):
     from tds_tpu.envs.ant import AntEnv
     from tds_tpu.envs.hopper import HalfCheetahEnv, HopperEnv
     from tds_tpu.envs.humanoid import HumanoidEnv
@@ -84,8 +90,10 @@ def make_env(name: str, dtype, height_bonus: float = 0.0):
     }
     if name not in envs:
         raise SystemExit(f"--env must be one of {sorted(envs)}, got {name!r}")
-    if name == "humanoid" and height_bonus:
-        return HumanoidEnv(dtype=dtype, height_bonus=height_bonus)
+    if name == "humanoid" and (height_bonus or crouch_penalty):
+        return HumanoidEnv(dtype=dtype, height_bonus=height_bonus,
+                           crouch_penalty=crouch_penalty,
+                           crouch_ref=crouch_ref)
     return envs[name](dtype=dtype)
 
 
@@ -113,7 +121,9 @@ def main():
             f"{cfg.terrain_scan} height-scan observations"
         )
     else:
-        env = make_env(cfg.env, jnp.float32, height_bonus=cfg.height_bonus)
+        env = make_env(cfg.env, jnp.float32, height_bonus=cfg.height_bonus,
+                       crouch_penalty=cfg.crouch_penalty,
+                       crouch_ref=cfg.crouch_ref)
     eval_env = env
     if cfg.reset_pool:
         import numpy as np
@@ -125,6 +135,7 @@ def main():
 
         env = HumanoidEnv(
             dtype=jnp.float32, height_bonus=cfg.height_bonus,
+            crouch_penalty=cfg.crouch_penalty, crouch_ref=cfg.crouch_ref,
             reset_pool=(pool["q"], pool["qd"]),
             reset_pool_prob=cfg.reset_pool_prob,
         )

@@ -143,7 +143,17 @@ def main():
                               "eval_reward_mean": float(best)},
                 )
             exp.log_metrics(it, metrics)
-            print(it, {k: round(float(v), 3) for k, v in metrics.items()})
+            print(it, {k: round(float(v), 3) for k, v in metrics.items()},
+                  flush=True)
+    # always save the END-OF-RUN policy too: the lr-anneal stabilization
+    # claim (VERDICT r4 #5) is that the FINAL deterministic mean stays
+    # good without best-eval harvesting — that needs the final artifact
+    save_checkpoint(
+        cfg.checkpoint + ".final",
+        {"params": state.params, "obs_stat": state.obs_stat,
+         "hidden": cfg.hidden},
+        metadata={"iteration": cfg.iterations},
+    )
     exp.finish()
 
 

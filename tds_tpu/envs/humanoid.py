@@ -22,17 +22,27 @@ class HumanoidEnv(LocomotionEnv):
         is_floating: bool = False,
         dtype=None,
         height_bonus: float = 0.0,
+        crouch_penalty: float = 0.0,
+        crouch_ref: float = 1.2,
         **kwargs,
     ):
-        # Training-shaping knob (beyond reference, default OFF = reference
-        # reward): + height_bonus * (torso_z - 1.0) per upright step.
-        # Diagnosed round 5: long-horizon gaits terminate by slowly
+        # Training-shaping knobs (beyond reference, default OFF = reference
+        # reward). Diagnosed round 5: long-horizon gaits terminate by slowly
         # SINKING through the z<0.8 floor (up-vector still fine at the
         # fall, z hits the threshold at ~1500 steps on every probed seed)
         # — the x-position reward never penalizes a progressive crouch.
+        #   height_bonus * (torso_z - 1.0): symmetric shaping; at weights
+        #     strong enough to matter late-episode it also REWARDS standing
+        #     tall without walking (z starts at 1.4), so it must stay weak
+        #     (~1.0) and was measured too weak to move the plateau.
+        #   crouch_penalty * max(crouch_ref - z, 0): penalty-ONLY shaping —
+        #     punishes sinking below crouch_ref without ever paying for
+        #     standing, so it can be strong (O(x-reward)) safely.
         # Policies trained with shaping are always EVALUATED and gated on
         # the unshaped reference reward.
         self.height_bonus = float(height_bonus)
+        self.crouch_penalty = float(crouch_penalty)
+        self.crouch_ref = float(crouch_ref)
         model, geoms = construct(urdf, is_floating=is_floating, dtype=dtype)
         # the xyz_spherical base uses 3 prismatic + 1 spherical link
         n_base_links = 0 if is_floating else (4 if "spherical" in urdf else 6)
@@ -68,5 +78,9 @@ class HumanoidEnv(LocomotionEnv):
         reward = pos[..., 0]
         if self.height_bonus:
             reward = reward + self.height_bonus * (pos[..., 2] - 1.0)
+        if self.crouch_penalty:
+            reward = reward - self.crouch_penalty * jnp.maximum(
+                self.crouch_ref - pos[..., 2], 0.0
+            )
         reward = jnp.where(done, 0.0, reward)
         return reward, done

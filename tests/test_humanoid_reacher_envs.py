@@ -147,3 +147,31 @@ def test_humanoid_spherical_base_up_vector(humanoid_env):
     )
     _, done = humanoid_env.reward_done(st.q, st.qd, q, st.qd)
     assert bool(done)
+
+
+def test_humanoid_crouch_penalty_shaping(humanoid_env):
+    """crouch_penalty is penalty-ONLY: zero at/above crouch_ref, and exactly
+    -w*(ref - z) below it — it must never reward standing tall (that is the
+    failure mode of a strong symmetric height_bonus, round-5 diagnosis)."""
+    import jax
+
+    from tds_tpu.envs.humanoid import HumanoidEnv
+
+    shaped = HumanoidEnv(dtype=jnp.float32, crouch_penalty=8.0, crouch_ref=1.2)
+    st, _ = humanoid_env.reset(jax.random.PRNGKey(0))
+    a = humanoid_env.action_transform(
+        jnp.zeros((humanoid_env.action_dim,), jnp.float32)
+    )
+    # upright (z ~ 1.4 > ref): shaped reward == reference reward
+    _, _, r_ref, _ = humanoid_env.step(st, a)
+    _, _, r_shaped, _ = shaped.step(st, a)
+    np.testing.assert_allclose(float(r_shaped), float(r_ref), atol=1e-6)
+    # crouched (z ~ 0.97 < ref): shaped = ref - w * (ref - z), z from the
+    # POST-step pose (reward_done reads the integrated q)
+    low = st.replace(q=st.q.at[2].add(-0.45))
+    st_ref, _, r_ref, _ = humanoid_env.step(low, a)
+    _, _, r_shaped, _ = shaped.step(low, a)
+    pos, _ = humanoid_env.base_pose_xyz_rpy(st_ref.q)
+    expect = float(r_ref) - 8.0 * max(1.2 - float(pos[2]), 0.0)
+    assert float(pos[2]) < 1.2  # the probe really is below ref
+    np.testing.assert_allclose(float(r_shaped), expect, atol=1e-5)

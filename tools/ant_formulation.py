@@ -132,8 +132,9 @@ def policy_eval(env, n=1000):
 
 def main():
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 16384
+    names = sys.argv[2:] or list(VARIANTS)  # resumable per-variant
     out = {}
-    for name, solver in VARIANTS.items():
+    for name, solver in ((n, VARIANTS[n]) for n in names):
         env = AntEnv(dtype=jnp.float32, solver=solver)
         sps, compile_s, roof = throughput(env, batch)
         xs = policy_eval(env)
