@@ -63,11 +63,17 @@ class HumanoidEnv(LocomotionEnv):
             skip_links=n_base_links,
             # 19 collision geoms (16 capsules x 2 probes + 3 spheres) give
             # 35 plane candidates = a 105-row MLCP, of which a walking gait
-            # penetrates at most a handful (feet + occasional knee). The
-            # 8-deepest compaction is float-identical on driven rollouts
-            # (max |dq| 5.6e-6 over 300 steps, round-5 probe) and cuts the
-            # Delassus/PGS terms ~(105/24)^2 = 19x.
-            solver=ContactSolverParams(top_k=8),
+            # penetrates at most a handful. The 8-deepest compaction is
+            # float-identical on driven rollouts (max |dq| 5.6e-6 over 300
+            # steps, round-5 probe) but MEASURED SLOWER here: 240K steps/s
+            # with top_k=8 vs 667K with the full 105-row system (batch 4096
+            # x 200-step scan, TPU v5e, round 5) — the per-step top_k sort +
+            # one-hot selection over 35 wide Jacobian rows costs more than
+            # the Delassus shrink saves on this robot (contrast ant 2.12x
+            # and terrain-laikago 1.53x FASTER, where candidates are few).
+            # Default stays the full system; opt in via solver=... if the
+            # contact set grows.
+            solver=ContactSolverParams(top_k=0),
         )
         defaults.update(kwargs)
         super().__init__(model, geoms, **defaults)
