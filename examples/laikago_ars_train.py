@@ -42,6 +42,10 @@ class Cfg:
     # so it can be strong enough to rival the late-episode x reward.
     crouch_penalty: float = 0.0
     crouch_ref: float = 1.2
+    # humanoid-only: - z_damping * vz^2 per step, damping the growing
+    # vertical oscillation the round-5 contact probe diagnosed as the
+    # actual fall mode (feet leave the ground on each deepening dip)
+    z_damping: float = 0.0
     # brink-state curriculum: .npz from tools/make_reset_pool.py; training
     # rollouts then reset from the policy's own near-failure states with
     # this probability (eval rollouts always use the standing start)
@@ -75,7 +79,8 @@ def make_terrain_env(bump: float, scan_points: int, dtype):
 
 
 def make_env(name: str, dtype, height_bonus: float = 0.0,
-             crouch_penalty: float = 0.0, crouch_ref: float = 1.2):
+             crouch_penalty: float = 0.0, crouch_ref: float = 1.2,
+             z_damping: float = 0.0):
     from tds_tpu.envs.ant import AntEnv
     from tds_tpu.envs.hopper import HalfCheetahEnv, HopperEnv
     from tds_tpu.envs.humanoid import HumanoidEnv
@@ -90,10 +95,10 @@ def make_env(name: str, dtype, height_bonus: float = 0.0,
     }
     if name not in envs:
         raise SystemExit(f"--env must be one of {sorted(envs)}, got {name!r}")
-    if name == "humanoid" and (height_bonus or crouch_penalty):
+    if name == "humanoid" and (height_bonus or crouch_penalty or z_damping):
         return HumanoidEnv(dtype=dtype, height_bonus=height_bonus,
                            crouch_penalty=crouch_penalty,
-                           crouch_ref=crouch_ref)
+                           crouch_ref=crouch_ref, z_damping=z_damping)
     return envs[name](dtype=dtype)
 
 
@@ -123,7 +128,7 @@ def main():
     else:
         env = make_env(cfg.env, jnp.float32, height_bonus=cfg.height_bonus,
                        crouch_penalty=cfg.crouch_penalty,
-                       crouch_ref=cfg.crouch_ref)
+                       crouch_ref=cfg.crouch_ref, z_damping=cfg.z_damping)
     eval_env = env
     if cfg.reset_pool:
         import numpy as np
@@ -136,6 +141,7 @@ def main():
         env = HumanoidEnv(
             dtype=jnp.float32, height_bonus=cfg.height_bonus,
             crouch_penalty=cfg.crouch_penalty, crouch_ref=cfg.crouch_ref,
+            z_damping=cfg.z_damping,
             reset_pool=(pool["q"], pool["qd"]),
             reset_pool_prob=cfg.reset_pool_prob,
         )

@@ -24,6 +24,7 @@ class HumanoidEnv(LocomotionEnv):
         height_bonus: float = 0.0,
         crouch_penalty: float = 0.0,
         crouch_ref: float = 1.2,
+        z_damping: float = 0.0,
         **kwargs,
     ):
         # Training-shaping knobs (beyond reference, default OFF = reference
@@ -38,11 +39,17 @@ class HumanoidEnv(LocomotionEnv):
         #   crouch_penalty * max(crouch_ref - z, 0): penalty-ONLY shaping —
         #     punishes sinking below crouch_ref without ever paying for
         #     standing, so it can be strong (O(x-reward)) safely.
+        #   z_damping * vz^2: damps the slowly-GROWING vertical oscillation
+        #     the round-5 contact probe exposed (the "sink" is actually the
+        #     feet LEAVING the ground — contact distances go positive while
+        #     z drops; a slow vertical mode deepens each ~800-step cycle
+        #     until a dip crosses the z<0.8 termination with up still ~0.9).
         # Policies trained with shaping are always EVALUATED and gated on
         # the unshaped reference reward.
         self.height_bonus = float(height_bonus)
         self.crouch_penalty = float(crouch_penalty)
         self.crouch_ref = float(crouch_ref)
+        self.z_damping = float(z_damping)
         model, geoms = construct(urdf, is_floating=is_floating, dtype=dtype)
         # the xyz_spherical base uses 3 prismatic + 1 spherical link
         n_base_links = 0 if is_floating else (4 if "spherical" in urdf else 6)
@@ -88,5 +95,9 @@ class HumanoidEnv(LocomotionEnv):
             reward = reward - self.crouch_penalty * jnp.maximum(
                 self.crouch_ref - pos[..., 2], 0.0
             )
+        if self.z_damping:
+            # base z velocity: qd[2] is the z-prismatic rate of the
+            # xyz_spherical base (the same coordinate reward reads as pos z)
+            reward = reward - self.z_damping * qd[..., 2] ** 2
         reward = jnp.where(done, 0.0, reward)
         return reward, done

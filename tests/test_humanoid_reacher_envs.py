@@ -175,3 +175,26 @@ def test_humanoid_crouch_penalty_shaping(humanoid_env):
     expect = float(r_ref) - 8.0 * max(1.2 - float(pos[2]), 0.0)
     assert float(pos[2]) < 1.2  # the probe really is below ref
     np.testing.assert_allclose(float(r_shaped), expect, atol=1e-5)
+
+
+def test_humanoid_z_damping_shaping(humanoid_env):
+    """z_damping subtracts w*vz^2 (post-step base z rate, qd[2] of the
+    xyz_spherical base) — the round-5 lever that targets the growing
+    vertical-oscillation fall mode directly."""
+    import jax
+
+    from tds_tpu.envs.humanoid import HumanoidEnv
+
+    shaped = HumanoidEnv(dtype=jnp.float32, z_damping=5.0)
+    st, _ = humanoid_env.reset(jax.random.PRNGKey(0))
+    st = st.replace(qd=st.qd.at[2].set(1.3))
+    a = humanoid_env.action_transform(
+        jnp.zeros((humanoid_env.action_dim,), jnp.float32)
+    )
+    st_ref, _, r_ref, _ = humanoid_env.step(st, a)
+    _, _, r_shaped, _ = shaped.step(st, a)
+    vz = float(st_ref.qd[2])
+    assert abs(vz) > 0.5  # the probe really is moving vertically
+    np.testing.assert_allclose(
+        float(r_shaped), float(r_ref) - 5.0 * vz * vz, rtol=1e-5
+    )
