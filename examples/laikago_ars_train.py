@@ -46,6 +46,10 @@ class Cfg:
     # vertical oscillation the round-5 contact probe diagnosed as the
     # actual fall mode (feet leave the ground on each deepening dip)
     z_damping: float = 0.0
+    # humanoid-only: flat per-step alive bonus; REQUIRED when the penalty
+    # terms push the per-step net negative (reward stops at done, so a
+    # net-negative stream rewards dying early)
+    alive_bonus: float = 0.0
     # brink-state curriculum: .npz from tools/make_reset_pool.py; training
     # rollouts then reset from the policy's own near-failure states with
     # this probability (eval rollouts always use the standing start)
@@ -80,7 +84,7 @@ def make_terrain_env(bump: float, scan_points: int, dtype):
 
 def make_env(name: str, dtype, height_bonus: float = 0.0,
              crouch_penalty: float = 0.0, crouch_ref: float = 1.2,
-             z_damping: float = 0.0):
+             z_damping: float = 0.0, alive_bonus: float = 0.0):
     from tds_tpu.envs.ant import AntEnv
     from tds_tpu.envs.hopper import HalfCheetahEnv, HopperEnv
     from tds_tpu.envs.humanoid import HumanoidEnv
@@ -95,10 +99,12 @@ def make_env(name: str, dtype, height_bonus: float = 0.0,
     }
     if name not in envs:
         raise SystemExit(f"--env must be one of {sorted(envs)}, got {name!r}")
-    if name == "humanoid" and (height_bonus or crouch_penalty or z_damping):
+    if name == "humanoid" and (height_bonus or crouch_penalty or z_damping
+                               or alive_bonus):
         return HumanoidEnv(dtype=dtype, height_bonus=height_bonus,
                            crouch_penalty=crouch_penalty,
-                           crouch_ref=crouch_ref, z_damping=z_damping)
+                           crouch_ref=crouch_ref, z_damping=z_damping,
+                           alive_bonus=alive_bonus)
     return envs[name](dtype=dtype)
 
 
@@ -128,7 +134,8 @@ def main():
     else:
         env = make_env(cfg.env, jnp.float32, height_bonus=cfg.height_bonus,
                        crouch_penalty=cfg.crouch_penalty,
-                       crouch_ref=cfg.crouch_ref, z_damping=cfg.z_damping)
+                       crouch_ref=cfg.crouch_ref, z_damping=cfg.z_damping,
+                       alive_bonus=cfg.alive_bonus)
     eval_env = env
     if cfg.reset_pool:
         import numpy as np
@@ -141,7 +148,7 @@ def main():
         env = HumanoidEnv(
             dtype=jnp.float32, height_bonus=cfg.height_bonus,
             crouch_penalty=cfg.crouch_penalty, crouch_ref=cfg.crouch_ref,
-            z_damping=cfg.z_damping,
+            z_damping=cfg.z_damping, alive_bonus=cfg.alive_bonus,
             reset_pool=(pool["q"], pool["qd"]),
             reset_pool_prob=cfg.reset_pool_prob,
         )

@@ -25,6 +25,7 @@ class HumanoidEnv(LocomotionEnv):
         crouch_penalty: float = 0.0,
         crouch_ref: float = 1.2,
         z_damping: float = 0.0,
+        alive_bonus: float = 0.0,
         **kwargs,
     ):
         # Training-shaping knobs (beyond reference, default OFF = reference
@@ -46,10 +47,16 @@ class HumanoidEnv(LocomotionEnv):
         #     until a dip crosses the z<0.8 termination with up still ~0.9).
         # Policies trained with shaping are always EVALUATED and gated on
         # the unshaped reference reward.
+        #   alive_bonus: flat per-step bonus. REQUIRED whenever the penalty
+        #     terms make the expected per-step return negative: reward is 0
+        #     after termination, so a net-negative stream makes dying early
+        #     PROFITABLE and ARS's top-direction selection amplifies
+        #     early-death gaits. Size it to keep the per-step net positive.
         self.height_bonus = float(height_bonus)
         self.crouch_penalty = float(crouch_penalty)
         self.crouch_ref = float(crouch_ref)
         self.z_damping = float(z_damping)
+        self.alive_bonus = float(alive_bonus)
         model, geoms = construct(urdf, is_floating=is_floating, dtype=dtype)
         # the xyz_spherical base uses 3 prismatic + 1 spherical link
         n_base_links = 0 if is_floating else (4 if "spherical" in urdf else 6)
@@ -99,5 +106,7 @@ class HumanoidEnv(LocomotionEnv):
             # base z velocity: qd[2] is the z-prismatic rate of the
             # xyz_spherical base (the same coordinate reward reads as pos z)
             reward = reward - self.z_damping * qd[..., 2] ** 2
+        if self.alive_bonus:
+            reward = reward + self.alive_bonus
         reward = jnp.where(done, 0.0, reward)
         return reward, done
