@@ -55,15 +55,25 @@ def test_ppo_lr_anneal_runs_and_freezes_late_policy():
     )
     init_fn, step_fn = make_ppo(env, nets, cfg)
     state = init_fn(jax.random.PRNGKey(0))
-    for _ in range(9):
+
+    def max_delta(a, b):
+        return max(
+            float(jnp.max(jnp.abs(x - y)))
+            for x, y in zip(jax.tree_util.tree_leaves(a),
+                            jax.tree_util.tree_leaves(b))
+        )
+
+    p0 = state.params["policy"]
+    state, _ = step_fn(state)  # iteration 1: full learning rate
+    early = max_delta(state.params["policy"], p0)
+    for _ in range(8):
         state, _ = step_fn(state)
     before = state.params["policy"]
-    state, _ = step_fn(state)  # lr has annealed to ~0 here
-    after = state.params["policy"]
-    delta = max(
-        float(jnp.max(jnp.abs(a - b)))
-        for a, b in zip(jax.tree_util.tree_leaves(after),
-                        jax.tree_util.tree_leaves(before))
-    )
-    # early iterations move params orders of magnitude more than this
-    assert delta < 1e-4, delta
+    state, _ = step_fn(state)  # final iteration: lr ramps lr/10 -> 0
+    late = max_delta(state.params["policy"], before)
+    # The final iteration's updates average ~lr/20 (linear ramp to zero),
+    # so its TOTAL movement must be far below the first iteration's —
+    # relative, not absolute: Adam still takes ~lr-sized steps until the
+    # schedule actually reaches zero on the very last minibatch.
+    assert late < early / 5, (early, late)
+    assert late < 5e-3, (early, late)
