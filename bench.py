@@ -67,7 +67,16 @@ def main():
     # batch swept in round 3 (PROGRESS.md): 4096 -> 4.97M steps/s, 8192 ->
     # 5.59M, 16384 -> 6.02M, 20480 -> 6.01M, 32768 -> 5.09M. 16384 sits on
     # the plateau; beyond it HBM traffic (not parallelism) is the wall.
+    # Round-5 per-robot sweep (tools/batch_sweep.py, scan-fused rollouts):
+    # the SCAN-path knee is earlier than the step-path plateau — laikago
+    # 4096: 7.42M vs 16384: 6.91M; ant 4096: 1.87M vs 16384: 1.14M;
+    # humanoid 2048: 771K vs 4096: 637K; terrain 4096: 467K. Scan metrics
+    # below use these measured best batches (capped by TDS_BENCH_BATCH so
+    # a CPU smoke run stays cheap).
     batch = int(os.environ.get("TDS_BENCH_BATCH", 16384))
+    best_scan_batch = {
+        "laikago": 4096, "ant": 4096, "humanoid": 2048, "terrain": 4096,
+    }
     inner_steps = int(os.environ.get("TDS_BENCH_STEPS", 100))
 
     from tds_tpu.envs.laikago import LaikagoEnv
@@ -263,19 +272,28 @@ def main():
         )
         return states, obs
 
+    # measured best scan batch (see best_scan_batch above): 4096 beats the
+    # step-path's 16384 plateau by ~7% on the scan-fused rollout
+    scan_batch = min(batch, best_scan_batch["laikago"])
+    if scan_batch != batch:
+        scan_keys = jax.random.split(jax.random.PRNGKey(3), scan_batch)
+        scan_states0, scan_obs0 = jax.jit(jax.vmap(env.reset))(scan_keys)
+        jax.block_until_ready(scan_obs0)
+    else:
+        scan_states0, scan_obs0 = states0, obs0
     t0 = time.time()
-    rollout_c = jax.jit(rollout).lower(states0, obs0).compile()
+    rollout_c = jax.jit(rollout).lower(scan_states0, scan_obs0).compile()
     compile_rollout_s = time.time() - t0
     best_rollout = float("inf")
     for _ in range(3):
         t0 = time.time()
-        _st, obs_out = rollout_c(states0, obs0)
+        _st, obs_out = rollout_c(scan_states0, scan_obs0)
         np.asarray(obs_out[0, 0])  # force device->host readback
         best_rollout = min(best_rollout, time.time() - t0)
-    rollout_steps_per_s = batch * scan_len / best_rollout
+    rollout_steps_per_s = scan_batch * scan_len / best_rollout
     print(
-        f"# scan-rollout: len={scan_len} best={best_rollout:.4f}s "
-        f"compile={compile_rollout_s:.1f}s",
+        f"# scan-rollout: batch={scan_batch} len={scan_len} "
+        f"best={best_rollout:.4f}s compile={compile_rollout_s:.1f}s",
         file=sys.stderr,
     )
 
@@ -378,16 +396,17 @@ def main():
                 dtype=jnp.float32, terrain=terrain, height_scan=scan_pts
             )
 
-        # shapes derive from the main batch knob so a CPU smoke run
-        # (TDS_BENCH_BATCH=64) stays cheap; per-robot best batches are
-        # established by tools/batch_sweep.py on the real chip (the 16384
-        # plateau was only ever measured for laikago)
+        # per-robot batches are the MEASURED best from tools/batch_sweep.py
+        # (round 5, real chip), capped by the TDS_BENCH_BATCH knob so a CPU
+        # smoke run (TDS_BENCH_BATCH=64) stays cheap
         for name, mk, b, n in (
-            ("ant_scan_rollout_env_steps_per_s", mk_ant, batch, scan_len // 2),
+            ("ant_scan_rollout_env_steps_per_s", mk_ant,
+             min(batch, best_scan_batch["ant"]), scan_len // 2),
             ("humanoid_scan_rollout_env_steps_per_s", mk_humanoid,
-             max(batch // 4, 1), scan_len // 5),
+             min(max(batch // 4, 1), best_scan_batch["humanoid"]),
+             scan_len // 5),
             ("laikago_terrain_scan_rollout_env_steps_per_s", mk_terrain,
-             batch, scan_len // 2),
+             min(batch, best_scan_batch["terrain"]), scan_len // 2),
         ):
             try:
                 envelope[name], roof = measure_env(mk, name, b, n)
